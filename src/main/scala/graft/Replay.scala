@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.CdcMerge
+import graft.sources.LakeTable
+import graft.streaming.CdcStream
+
+/** spark-submit entrypoint of the engine (north rule: "run via spark-submit").
+  *
+  * {{{
+  *   Replay gen  <srcDir> <epochs> <eventsPerEpoch> [numConvs] [hotShare] [pDelete]
+  *   Replay run  <srcDir> <tableDir> <ckptDir> [queryId] [numBuckets] [maxFilesPerTrigger]
+  *   Replay show <tableDir> [n]
+  *   Replay lineage <tableDir> <queryId>
+  * }}}
+  * Local testing uses `local[N]` via SPARK_GRAFT_CPUS; under spark-submit the
+  * master comes from the cluster config.
+  */
+object Replay {
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    GraftSession.local(cpus)
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "gen" :: src :: epochs :: per :: rest =>
+      val spark = session()
+      val numConvs = rest.headOption.map(_.toInt).getOrElse(1000)
+      val hotShare = rest.lift(1).map(_.toDouble).getOrElse(0.0)
+      val pDelete = rest.lift(2).map(_.toDouble).getOrElse(0.05)
+      val dirs = ChangeGen.writeEpochs(spark, src, epochs.toInt, per.toLong,
+        numConvs = numConvs, hotShare = hotShare, pDelete = pDelete)
+      println(s"wrote ${dirs.size} epoch dirs under $src")
+      spark.stop()
+
+    case "run" :: src :: table :: ckpt :: rest =>
+      val spark = session()
+      val queryId = rest.headOption.getOrElse("graft")
+      val buckets = rest.lift(1).map(_.toInt).getOrElse(64)
+      val mft = rest.lift(2).map(_.toInt)
+      val t0 = System.nanoTime()
+      CdcStream.runAvailable(spark, CdcStream.Config(
+        sourceDir = src, tableDir = table, checkpointDir = ckpt,
+        queryId = queryId, numBuckets = buckets, maxFilesPerTrigger = mft))
+      val secs = (System.nanoTime() - t0) / 1e9
+      val t = LakeTable.load(spark, table)
+      println(f"replay done in $secs%.1fs; table rows=${CdcMerge.state(t).count()} " +
+        s"snapshot=v${t.snapshot.version} appliedEpoch=${t.appliedEpoch(queryId)}")
+      spark.stop()
+
+    case "show" :: table :: rest =>
+      val spark = session()
+      val t = LakeTable.load(spark, table)
+      println(s"schema: ${t.schema.simpleString}")
+      println(s"rows: ${CdcMerge.state(t).count()}  files: ${t.snapshot.files.size}  " +
+        s"snapshot: v${t.snapshot.version}  summary: ${t.snapshot.summary}")
+      CdcMerge.state(t).orderBy("conv_id", "turn_idx").show(rest.headOption.map(_.toInt).getOrElse(10), false)
+      spark.stop()
+
+    case "lineage" :: table :: queryId :: Nil =>
+      val spark = session()
+      val t = LakeTable.load(spark, table)
+      CdcMerge.lineage(t, queryId).orderBy("epoch_id", "bucket").show(100, false)
+      spark.stop()
+
+    case other =>
+      System.err.println(s"unknown args: $other — see Replay scaladoc")
+      sys.exit(2)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Last-writer-wins deduplication: one surviving change event per key, the one with
+  * the maximum LSN.
+  *
+  * Reference semantics: the merge procedures resolve "new, changed, and logically
+  * deleted records" per key (reference dest/I2b2QueryResultsHandler.java:112-153) and
+  * the max-UPDATE_DATE pattern picks the latest writer
+  * (reference dest/table/ProviderDimensionFactory.java:153-183).
+  *
+  * Implementation: `max(struct(lsn, payload…))` hash aggregation rather than a
+  * `row_number()` window. The window form forces a full shuffle + per-partition sort
+  * of EVERY event; the aggregate form is partial-aggregable (map-side combine), so a
+  * key with 10^6 duplicate events is reduced to one row per map task BEFORE the
+  * shuffle — at 100 TB that is the difference between shuffling the whole stream and
+  * shuffling ~|keys| rows. The struct comparison is lexicographic with `lsn` first,
+  * so duplicate-LSN redelivery (same payload) resolves deterministically.
+  */
+object Dedup {
+
+  /** One row per key with all original columns, plus `n_events` (how many raw events
+    * collapsed into this key — `n_events - 1` is the conflict count for lineage). */
+  def lww(df: DataFrame, keyCols: Seq[String] = Seq("conv_id", "turn_idx"),
+          lsnCol: String = "lsn"): DataFrame = {
+    val valueCols = df.columns.filterNot(keyCols.contains).toSeq
+    val ordered = struct((lsnCol +: valueCols.filterNot(_ == lsnCol)).map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max(ordered).as("_w"), count(lit(1)).as("n_events"), min(col(lsnCol)).as("_lsn_min"))
+      .select(keyCols.map(col) ++ valueCols.map(c => col(s"_w.$c").as(c))
+        :+ col("n_events") :+ col("_lsn_min"): _*)
+  }
+
+  /** Explicitly salted two-phase LWW (north rule: "salts hot conv_id keys before the
+    * key-partitioned shuffle"). Phase 1 aggregates on (key, salt) — a hot key's
+    * events spread over `saltBuckets` reducers — phase 2 reduces the ≤saltBuckets
+    * survivors per key. Spark's partial aggregation already absorbs most skew
+    * map-side; the explicit salt additionally protects the reduce side when partial
+    * aggregation degrades (high map-side key cardinality → hash-map spill).
+    */
+  def lwwSalted(df: DataFrame, keyCols: Seq[String] = Seq("conv_id", "turn_idx"),
+                lsnCol: String = "lsn", saltBuckets: Int = 16): DataFrame = {
+    val valueCols = df.columns.filterNot(keyCols.contains).toSeq
+    val ordered = struct((lsnCol +: valueCols.filterNot(_ == lsnCol)).map(col): _*)
+    val salt = pmod(xxhash64(col(lsnCol)), lit(saltBuckets)).as("_salt")
+    val phase1 = df.groupBy((keyCols.map(col) :+ salt): _*)
+      .agg(max(ordered).as("_w"), count(lit(1)).as("n_events"), min(col(lsnCol)).as("_lsn_min"))
+    phase1.groupBy(keyCols.map(col): _*)
+      .agg(max(col("_w")).as("_w"), sum("n_events").as("n_events"),
+        min("_lsn_min").as("_lsn_min"))
+      .select(keyCols.map(col) ++ valueCols.map(c => col(s"_w.$c").as(c))
+        :+ col("n_events") :+ col("_lsn_min"): _*)
+  }
+}
+
+/** Hot-key detection for choosing the salted path.
+  * Reference analog: none (single-node JDBC has no shuffle skew); north-rule-new. */
+object Skew {
+  /** Approximate share of the most frequent value of `keyCol`, from a bounded sample.
+    * Cheap (one pass over ≤`sampleRows` rows); used to decide lww vs lwwSalted. */
+  def topKeyShare(df: DataFrame, keyCol: String, sampleRows: Long = 100000L): Double = {
+    val s = df.select(keyCol).limit(sampleRows.toInt)
+      .groupBy(keyCol).count()
+      .agg(max("count").as("mx"), sum("count").as("tot"))
+      .collect()(0)
+    if (s.isNullAt(1) || s.getLong(1) == 0L) 0.0
+    else s.getLong(0).toDouble / s.getLong(1).toDouble
+  }
+}
