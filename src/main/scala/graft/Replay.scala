@@ -58,6 +58,28 @@ object Replay {
       CdcMerge.state(t).orderBy("conv_id", "turn_idx").show(rest.headOption.map(_.toInt).getOrElse(10), false)
       spark.stop()
 
+    case "compact" :: table :: rest =>
+      val spark = session()
+      val t = LakeTable.load(spark, table)
+      val purgeBelow = rest.headOption.map(_.toLong).getOrElse(Long.MinValue)
+      graft.operators.Maintain.compact(t, purgeBelow)
+      println(s"compacted: files=${t.snapshot.files.size} rows=${CdcMerge.state(t).count()}")
+      spark.stop()
+
+    case "truncate" :: table :: Nil =>
+      val spark = session()
+      val t = LakeTable.load(spark, table)
+      graft.operators.Maintain.truncate(t)
+      println(s"truncated: rows=${CdcMerge.state(t).count()} snapshot=v${t.snapshot.version}")
+      spark.stop()
+
+    case "vacuum" :: table :: rest =>
+      val spark = session()
+      val t = LakeTable.load(spark, table)
+      val n = graft.operators.Maintain.vacuum(t, rest.headOption.map(_.toInt).getOrElse(3))
+      println(s"vacuumed $n orphan/expired files")
+      spark.stop()
+
     case "lineage" :: table :: queryId :: Nil =>
       val spark = session()
       val t = LakeTable.load(spark, table)

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sources.LakeTable
+
+/** Maintenance operators mirroring the reference's REPLACE-vs-UPDATE query modes and
+  * post-load housekeeping (SURVEY.md §2.1 S7, S9).
+  */
+object Maintain {
+
+  /** REPLACE mode, full reset: `TRUNCATE TABLE` analog
+    * (reference dest/I2b2QueryResultsHandler.java:991-1026, RemoveMethod.TRUNCATE). */
+  def truncate(table: LakeTable): Unit = {
+    val s = table.snapshot
+    table.commit(Nil, s.schemas, s.currentSchemaId, applied = Map.empty,
+      summary = Map("graft.operation" -> "truncate"))
+  }
+
+  /** Scoped delete: remove only rows matching `pred` — the multi-tenant-safe
+    * `DELETE FROM t WHERE SOURCESYSTEM_CD IN (...)` analog
+    * (reference dest/I2b2QueryResultsHandler.java:1045-1093, RemoveMethod.DELETE).
+    * Copy-on-write: only files that actually contain matching rows are rewritten.
+    */
+  def deleteWhere(table: LakeTable, pred: Column): Long = {
+    val s = table.snapshot
+    val cur = table.read()
+    val hit = cur.filter(pred)
+      .select(LakeTable.bucketCol(col("conv_id"), s.numBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (hit.isEmpty) return 0L
+    val before = table.readBuckets(hit)
+    val kept = before.filter(!pred)
+    val removed = before.count() - kept.count()
+    val newFiles = table.writeDataFiles(
+      kept.withColumn("_gbucket", LakeTable.bucketCol(col("conv_id"), s.numBuckets))
+        .repartition(col("_gbucket")),
+      s.version + 1, s.currentSchemaId)
+    val carried = s.files.filterNot(f => hit.contains(f.bucket))
+    table.commit(carried ++ newFiles, s.schemas, s.currentSchemaId, s.applied,
+      Map("graft.operation" -> "delete", "graft.rowsDeleted" -> removed.toString))
+    removed
+  }
+
+  /** Compaction: rewrite every bucket into few files on the CURRENT schema, purging
+    * delete tombstones whose `_lsn` is below `purgeTombstonesBelow` (safe once no
+    * change event with a smaller LSN can still arrive — e.g. the source's retention
+    * watermark). Reference analog: rebuild-indexes-after-bulk-load housekeeping
+    * (reference dest/I2b2QueryResultsHandler.java:1116-1139); Iceberg analog:
+    * rewrite_data_files.
+    */
+  def compact(table: LakeTable, purgeTombstonesBelow: Long = Long.MinValue): Unit = {
+    val s = table.snapshot
+    val all = table.read()
+      .filter(!(col("_deleted") && col("_lsn") < purgeTombstonesBelow))
+      .withColumn("_gbucket", LakeTable.bucketCol(col("conv_id"), s.numBuckets))
+      .repartition(col("_gbucket"))
+    val newFiles = table.writeDataFiles(all, s.version + 1, s.currentSchemaId)
+    table.commit(newFiles, s.schemas, s.currentSchemaId, s.applied,
+      Map("graft.operation" -> "compact",
+          "graft.purgeBelow" -> purgeTombstonesBelow.toString))
+  }
+
+  /** Garbage-collect data files referenced by NO snapshot (crash orphans) or only by
+    * snapshots older than the latest `keepSnapshots`. Returns deleted file count. */
+  def vacuum(table: LakeTable, keepSnapshots: Int = 3): Int = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val history = LakeTable.history(table.dir)
+    val live = history.takeRight(keepSnapshots).flatMap(_.files.map(_.path)).toSet
+    val dataDir = Paths.get(table.dir, "data")
+    if (!Files.isDirectory(dataDir)) return 0
+    var n = 0
+    Files.list(dataDir).iterator().asScala.foreach { p =>
+      val rel = s"data/${p.getFileName}"
+      if (!live.contains(rel)) { Files.deleteIfExists(p); n += 1 }
+    }
+    n
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CdcMerge, Maintain}
+import graft.sources.LakeTable
+
+class MaintainSpec extends SparkSpec {
+
+  private def loaded(name: String): (LakeTable, org.apache.spark.sql.DataFrame) = {
+    val t = LakeTable.create(spark, tmpDir(name), CdcMerge.physicalSchema(Schemas.transcript), 8)
+    val ev = ChangeGen.events(spark, 3000L, numConvs = 30, maxTurns = 6, pDelete = 0.1)
+    CdcMerge.applyBatch(t, ev, 0L, "q")
+    (t, ev)
+  }
+
+  test("truncate (REPLACE mode): table empties, ledger resets, history keeps the old snapshot") {
+    val (t, _) = loaded("trunc")
+    val vBefore = t.snapshot.version
+    Maintain.truncate(t)
+    assert(CdcMerge.state(t).count() === 0L)
+    assert(t.appliedEpoch("q") === -1L)
+    // time travel: previous snapshot still lists the data files
+    assert(LakeTable.history(t.dir).exists(s => s.version == vBefore && s.files.nonEmpty))
+  }
+
+  test("scoped deleteWhere removes only matching rows, copy-on-write") {
+    val (t, ev) = loaded("scoped")
+    val before = CdcMerge.state(t).count()
+    val target = CdcMerge.state(t).filter(col("role") === "tool").count()
+    val removed = Maintain.deleteWhere(t, col("role") === "tool" && !col("_deleted"))
+    assert(removed === target)
+    assert(CdcMerge.state(t).count() === before - target)
+    assert(CdcMerge.state(t).filter(col("role") === "tool").count() === 0L)
+  }
+
+  test("compact purges old tombstones and preserves state") {
+    val (t, ev) = loaded("cmp")
+    val stateBefore = CdcMerge.state(t).orderBy("conv_id", "turn_idx").collect().toSeq
+    val tombsBefore = t.read().filter(col("_deleted")).count()
+    assert(tombsBefore > 0)
+    Maintain.compact(t, purgeTombstonesBelow = Long.MaxValue)
+    assert(t.read().filter(col("_deleted")).count() === 0L)
+    val stateAfter = CdcMerge.state(t).orderBy("conv_id", "turn_idx").collect().toSeq
+    assert(stateBefore === stateAfter)
+    // compaction bounds file count to ~one per non-empty bucket
+    assert(t.snapshot.files.size <= t.numBuckets)
+  }
+
+  test("vacuum removes crash orphans but never live files") {
+    val (t, ev) = loaded("vac")
+    // orphan: written but never committed
+    val orphan = CdcMerge.state(t).limit(10)
+      .withColumn("_lsn", lit(0L)).withColumn("_deleted", lit(false))
+      .withColumn("_gbucket", LakeTable.bucketCol(col("conv_id"), 8))
+    t.writeDataFiles(orphan, version = 999L, schemaId = 0)
+    val stateBefore = CdcMerge.state(t).orderBy("conv_id", "turn_idx").collect().toSeq
+    val n = Maintain.vacuum(t, keepSnapshots = 1)
+    assert(n > 0)
+    assert(CdcMerge.state(t).orderBy("conv_id", "turn_idx").collect().toSeq === stateBefore)
+  }
+}
