@@ -1,13 +1,421 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimOps, TextOps}
+
+/** Driver contract — one `queries` entry per implemented operator (SURVEY.md §2),
+  * with a DuckDB-equivalent `oracleSql` where the operator is SQL-expressible.
+  * All queries read the driver-provided parquet tables under the given sf dir.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: CDC LWW replay state over the events stream (north rule's core
+    * semantic — max-LSN last-writer-wins per key). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_cdc_lww_state")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── CDC / window semantics (SURVEY §2.5, §2.9) ─────────────────────────────
+    "q_cdc_lww_state" -> ((s, d) => {
+      // LWW replay: latest event per (user_id, event_type) by event_id (the LSN)
+      val w = Window.partitionBy("user_id", "event_type").orderBy(col("event_id").desc)
+      t(s, d, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("value").as("last_value"), col("ts").as("last_ts"))
+    }),
+    "q_cdc_conflicts" -> ((s, d) => {
+      // per-key dedup stats: the lineage aggregation (conflicts = n_events - 1)
+      t(s, d, "events").groupBy("user_id", "event_type").agg(
+        count(lit(1)).as("n_events"),
+        min("event_id").as("lsn_min"), max("event_id").as("lsn_max"))
+    }),
+    "q_running_total" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, d, "events").select(col("user_id"), col("event_id"),
+        round(sum("value").over(w), 3).as("running_value"))
+    }),
+
+    // ── scans / filters / projections (SURVEY §2.1-2.2) ───────────────────────
+    "q_date_bound" -> ((s, d) =>
+      // P5 date-bounded scan with projection (filter + column pruning pushed to scan)
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")),
+    "q_valtype_encode" -> ((s, d) =>
+      // P3 tagged-value encoding: (VALTYPE_CD, TVAL_CHAR, NVAL_NUM)
+      t(s, d, "events").select(
+        col("event_id"),
+        when(col("value") >= 100, "N").otherwise("T").as("valtype_cd"),
+        when(col("value") >= 100, lit(null).cast("string"))
+          .otherwise(col("event_type")).as("tval_char"),
+        when(col("value") >= 100, round(col("value"), 3))
+          .otherwise(lit(null).cast("double")).as("nval_num"))),
+    "q_sentinel_clamp" -> ((s, d) =>
+      // P4 null/empty → '@' sentinel + length clamp
+      t(s, d, "documents").select(
+        col("doc_id"),
+        coalesce(nullif(substring(col("text"), 1, 50), lit("")), lit("@")).as("text50"))),
+    "q_json_props" -> ((s, d) =>
+      // S3-style code decode from a serialized map (JSON property extraction)
+      t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))),
+
+    // ── joins (SURVEY §2.3) ────────────────────────────────────────────────────
+    "q_fk_chain" -> ((s, d) => {
+      // J1 star-schema FK chain customer ⋈ orders ⋈ lineitem ⋈ nation
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_lines"))
+    }),
+    "q_semi_keyset" -> ((s, d) =>
+      // S2/J5/J8 keyset-scoped scan: semi-join against a key set
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy("l_orderkey").agg(count(lit(1)).as("n_lines"))),
+    "q_anti_orphans" -> ((s, d) =>
+      // anti-join (NOT EXISTS fallback of §2.7): customers with no urgent order
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+    "q_parent_lookup" -> ((s, d) =>
+      // J6 parent lookup via left outer equi-join
+      t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"), "left_outer")
+        .select(col("n_name"), col("r_name"))),
+    "q_prefix_hierarchy" -> ((s, d) => {
+      // J4 hierarchy prefix join: descendants of each root by path prefix
+      val paths = t(s, d, "nation")
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(concat(col("r_name"), lit("/"), col("n_name")).as("path"))
+      broadcast(t(s, d, "region").select(col("r_name")))
+        .join(paths, paths("path").startsWith(concat(col("r_name"), lit("/"))))
+        .groupBy("r_name").agg(count(lit(1)).as("descendants"))
+    }),
+    "q_keyset_meta" -> ((s, d) =>
+      // S4 3-table metadata lookup with flag filters
+      t(s, d, "region")
+        .join(t(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, d, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("c_acctbal") > 0)
+        .groupBy("r_name", "n_name").agg(count(lit(1)).as("n_cust"))),
+
+    // ── aggregations (SURVEY §2.4) ─────────────────────────────────────────────
+    "q1_agg" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))),
+    "q_totalnum" -> ((s, d) =>
+      // A2/A3 C_TOTALNUM-style per-concept totals + distinct patients
+      t(s, d, "events").groupBy("event_type").agg(
+        count(lit(1)).as("total"),
+        count_distinct(col("user_id")).as("users"))),
+    "q_max_date" -> ((s, d) =>
+      // A4 max-date resolution per entity
+      t(s, d, "orders").groupBy("o_custkey").agg(
+        max("o_orderdate").as("last_order"), count(lit(1)).as("n_orders"))),
+    "q_date_distance" -> ((s, d) =>
+      // A5 calendar distance (ship delay per priority)
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(avg(datediff(col("l_shipdate"), col("o_orderdate"))), 4)
+          .as("avg_delay_days"))),
+
+    // ── set ops / top-k / scalar functions (SURVEY §2.6-2.8) ──────────────────
+    "q_union_tag" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(col("o_totalprice") > 200000)
+        .select(lit("high").as("band"), col("o_orderkey"), col("o_totalprice"))
+        .unionByName(o.filter(col("o_totalprice") < 1000)
+          .select(lit("low").as("band"), col("o_orderkey"), col("o_totalprice")))
+    }),
+    "q_topk_revenue" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(round(sum("o_totalprice"), 2).as("spend"))
+        .orderBy(col("spend").desc, col("c_custkey"))
+        .limit(10)),
+    "q_scalar_string" -> ((s, d) =>
+      t(s, d, "part")
+        .filter(upper(col("p_name")).like("%A%"))
+        .select(col("p_partkey"), upper(col("p_name")).as("uname"),
+          substring(col("p_type"), 1, 5).as("t5"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("tagged"))),
+
+    // ── training-data pipeline ops over documents/embeddings ──────────────────
+    "q_dedup_exact" -> ((s, d) =>
+      t(s, d, "documents").groupBy("text").agg(
+        min("doc_id").as("keep_id"), count(lit(1)).as("copies"))),
+    "q_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.fingerprintMd5(col("text")).as("fp"))),
+    "q_token_stats" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"))),
+    "q_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang").as("true_lang"), TextOps.langId(col("text")).as("pred_lang"))
+        .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))),
+    "q_quality" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+    "q_ann_topk" -> ((s, d) => {
+      // brute-force cosine top-10 around the vec_id=0 query vector
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_embedding"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(SimOps.cosine(col("embedding"), col("q_embedding")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+    "q_embed_norms" -> ((s, d) => {
+      val norm = sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, v) => a + v))
+      t(s, d, "embeddings").groupBy("label")
+        .agg(round(avg(norm), 6).as("avg_norm"), count(lit(1)).as("n"))
+    }),
+
+    // ── non-SQL-expressible ops (rows-only checks) ─────────────────────────────
+    "q_minhash_lsh" -> ((s, d) => {
+      // near-dup candidates: shingle → minhash → band → bucket equi-join
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        SimOps.minhash(SimOps.wordShingles(col("text"), 3), 32).as("sig"))
+      val bands = docs.select(col("doc_id"),
+        posexplode(SimOps.lshBands(col("sig"), bands = 8, rowsPerBand = 4)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
+        .distinct()
+        .groupBy().agg(count(lit(1)).as("candidate_pairs"))
+    }),
+    "q_simhash" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        SimOps.simhash64(col("text")).as("simhash"))),
+    "q_ngram_jaccard" -> ((s, d) => {
+      // pairwise n-gram Jaccard within same (lang, source) blocks — blocked to
+      // keep the pair count linear-ish; full cross-join is never the plan
+      val sh = t(s, d, "documents").select(col("doc_id"), col("lang"), col("source"),
+        SimOps.wordShingles(col("text"), 2).as("sh"))
+      sh.as("a").join(sh.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"),
+          round(SimOps.jaccard(col("a.sh"), col("b.sh")), 4).as("jac"))
+        .filter(col("jac") >= 0.05)
+    }),
+    "q_rolling_fp" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.rollingFingerprint(col("text")).as("rfp"))),
+    "q_ann_lsh" -> ((s, d) => {
+      // bucketed ANN: random-hyperplane signature buckets, then per-bucket stats
+      t(s, d, "embeddings")
+        .select(col("vec_id"), SimOps.hyperplaneSig(col("embedding"), 8).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_cdc_lww_state" ->
+      """SELECT user_id, event_type, value AS last_value, ts AS last_ts
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY event_id DESC) AS rn FROM events)
+         WHERE rn = 1""",
+    "q_cdc_conflicts" ->
+      """SELECT user_id, event_type, count(*) AS n_events,
+                min(event_id) AS lsn_min, max(event_id) AS lsn_max
+         FROM events GROUP BY user_id, event_type""",
+    "q_running_total" ->
+      """SELECT user_id, event_id,
+                round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id), 3)
+                  AS running_value
+         FROM events""",
+    "q_date_bound" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+         WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'""",
+    "q_valtype_encode" ->
+      """SELECT event_id,
+                CASE WHEN value >= 100 THEN 'N' ELSE 'T' END AS valtype_cd,
+                CASE WHEN value >= 100 THEN NULL ELSE event_type END AS tval_char,
+                CASE WHEN value >= 100 THEN round(value, 3) ELSE NULL END AS nval_num
+         FROM events""",
+    "q_sentinel_clamp" ->
+      """SELECT doc_id, coalesce(nullif(substr(text, 1, 50), ''), '@') AS text50
+         FROM documents""",
+    "q_json_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+         FROM events""",
+    "q_fk_chain" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                count(*) AS n_lines
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+    "q_semi_keyset" ->
+      """SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+         GROUP BY l_orderkey""",
+    "q_anti_orphans" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')""",
+    "q_parent_lookup" ->
+      """SELECT n_name, r_name FROM nation
+         LEFT OUTER JOIN region ON n_regionkey = r_regionkey""",
+    "q_prefix_hierarchy" ->
+      """SELECT r.r_name, count(*) AS descendants
+         FROM region r
+         JOIN (SELECT r_name || '/' || n_name AS path
+               FROM nation JOIN region ON n_regionkey = r_regionkey) p
+           ON p.path LIKE r.r_name || '/%'
+         GROUP BY r.r_name""",
+    "q_keyset_meta" ->
+      """SELECT r_name, n_name, count(*) AS n_cust
+         FROM region
+         JOIN nation ON n_regionkey = r_regionkey
+         JOIN customer ON c_nationkey = n_nationkey
+         WHERE c_acctbal > 0
+         GROUP BY r_name, n_name""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_price,
+                round(avg(l_discount), 6) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_totalnum" ->
+      """SELECT event_type, count(*) AS total, count(DISTINCT user_id) AS users
+         FROM events GROUP BY event_type""",
+    "q_max_date" ->
+      """SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS n_orders
+         FROM orders GROUP BY o_custkey""",
+    "q_date_distance" ->
+      """SELECT o_orderpriority,
+                round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_delay_days
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority""",
+    "q_union_tag" ->
+      """SELECT 'high' AS band, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000
+         UNION ALL
+         SELECT 'low' AS band, o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 1000""",
+    "q_topk_revenue" ->
+      """SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS spend
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name
+         ORDER BY spend DESC, c_custkey LIMIT 10""",
+    "q_scalar_string" ->
+      """SELECT p_partkey, upper(p_name) AS uname, substr(p_type, 1, 5) AS t5,
+                p_brand || '#' || p_type AS tagged
+         FROM part WHERE upper(p_name) LIKE '%A%'""",
+    "q_dedup_exact" ->
+      """SELECT text, min(doc_id) AS keep_id, count(*) AS copies
+         FROM documents GROUP BY text""",
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents""",
+    "q_token_stats" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+                  AS n_tokens,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                round(
+                  ((length(' '||text||' ') - length(replace(' '||text||' ',' the ',''))) / 5
+                 + (length(' '||text||' ') - length(replace(' '||text||' ',' a ',''))) / 3
+                 + (length(' '||text||' ') - length(replace(' '||text||' ',' of ',''))) / 4
+                 + (length(' '||text||' ') - length(replace(' '||text||' ',' and ',''))) / 5
+                 + (length(' '||text||' ') - length(replace(' '||text||' ',' to ',''))) / 4
+                 + (length(' '||text||' ') - length(replace(' '||text||' ',' is ',''))) / 4
+                 + (length(' '||text||' ') - length(replace(' '||text||' ',' in ',''))) / 4)
+                 / greatest(CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS DOUBLE), 1.0)
+                , 6) AS stop_ratio
+         FROM documents""",
+    "q_lang_id" ->
+      s"""SELECT true_lang, pred_lang, count(*) AS n FROM (
+           SELECT lang AS true_lang,
+             CASE
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+               WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+               WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+               WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+               ELSE 'zh' END AS pred_lang
+           FROM (SELECT lang, ${langScoreSql("en")} AS s_en, ${langScoreSql("de")} AS s_de,
+                        ${langScoreSql("fr")} AS s_fr, ${langScoreSql("es")} AS s_es,
+                        ${langScoreSql("zh")} AS s_zh
+                 FROM documents)
+         ) GROUP BY true_lang, pred_lang""",
+    "q_quality" ->
+      """SELECT doc_id, round(
+           (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.5 ELSE 0.0 END)
+         + (CASE WHEN (
+              ((length(' '||text||' ') - length(replace(' '||text||' ',' the ',''))) / 5
+             + (length(' '||text||' ') - length(replace(' '||text||' ',' a ',''))) / 3
+             + (length(' '||text||' ') - length(replace(' '||text||' ',' of ',''))) / 4
+             + (length(' '||text||' ') - length(replace(' '||text||' ',' and ',''))) / 5
+             + (length(' '||text||' ') - length(replace(' '||text||' ',' to ',''))) / 4
+             + (length(' '||text||' ') - length(replace(' '||text||' ',' is ',''))) / 4
+             + (length(' '||text||' ') - length(replace(' '||text||' ',' in ',''))) / 4)
+              / greatest(CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS DOUBLE), 1.0)
+            ) > 0.01 THEN 0.3 ELSE 0.0 END)
+         + 0.2
+         - (CASE WHEN (
+              ((length(text) - length(replace(text,'.','')))
+             + (length(text) - length(replace(text,',','')))
+             + (length(text) - length(replace(text,'!','')))
+             + (length(text) - length(replace(text,'?',''))))
+              / greatest(CAST(length(text) AS DOUBLE), 1.0)) > 0.1 THEN 0.2 ELSE 0.0 END)
+         , 2) AS quality FROM documents""",
+    "q_ann_topk" ->
+      """SELECT e.vec_id,
+                round(list_cosine_similarity(
+                  list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(q.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+         FROM embeddings e,
+              (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         WHERE e.vec_id <> 0
+         ORDER BY cos DESC, e.vec_id LIMIT 10""",
+    "q_embed_norms" ->
+      """SELECT label,
+                round(avg(sqrt(list_sum(
+                  list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                  AS avg_norm,
+                count(*) AS n
+         FROM embeddings GROUP BY label"""
+  )
+
+  /** DuckDB marker-count expression matching TextOps.langId for one language. */
+  private def langScoreSql(lang: String): String = {
+    val markers = TextOps.langMarkers.toMap.apply(lang)
+    markers.map { m =>
+      val pat = s" $m "
+      s"((length(' '||text||' ') - length(replace(' '||text||' ','$pat',''))) / ${pat.length})"
+    }.mkString("(", " + ", ")")
+  }
 }

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines.
+  * All pure `org.apache.spark.sql.functions` compositions (whole-stage codegen;
+  * no UDFs), so they run at full vectorized speed over 100 TB of documents.
+  */
+object TextOps {
+
+  /** Non-empty whitespace-separated token count (the "whitespace tokenizer"). */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, " "), t => length(t) > 0))
+
+  /** A BPE-ish subword count: tokens split on whitespace AND punctuation/digit
+    * boundaries, counting ~4-char subword units for long words (approximates BPE
+    * vocabulary granularity without a vocab file). */
+  def subwordCount(text: Column): Column = {
+    val words = filter(split(text, "[\\s\\p{Punct}\\d]+"), t => length(t) > 0)
+    aggregate(words, lit(0), (acc, w) => acc + ceil(length(w) / 4.0).cast("int"))
+  }
+
+  /** Occurrences of literal substring `s` (codegen'd replace-trick, no regex). */
+  def occurrences(text: Column, s: String): Column =
+    ((length(text) - length(replace(text, lit(s), lit("")))) / s.length).cast("long")
+
+  /** Ratio helpers for quality scoring. */
+  def punctRatio(text: Column): Column = {
+    val punct = occurrences(text, ".") + occurrences(text, ",") +
+      occurrences(text, "!") + occurrences(text, "?")
+    punct.cast("double") / greatest(length(text), lit(1)).cast("double")
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val stops = Seq("the", "a", "of", "and", "to", "is", "in")
+      .map(w => occurrences(concat(lit(" "), text, lit(" ")), s" $w "))
+      .reduce(_ + _)
+    stops.cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+  }
+
+  /** Document quality score in [0,1]: length band + stopword presence − punctuation
+    * excess. Heuristic in the Gopher/C4 filtering tradition. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = when(length(text).between(50, 10000), 0.5).otherwise(0.0)
+    val stopScore = when(stopwordRatio(text) > 0.01, 0.3).otherwise(0.0)
+    val punctPenalty = when(punctRatio(text) > 0.1, 0.2).otherwise(0.0)
+    round(lenScore + stopScore + lit(0.2) - punctPenalty, 2)
+  }
+
+  /** N-gram-heuristic language ID: scores each language by counts of its marker
+    * words, returns the argmax (ties broken by fixed language order). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "das"),
+    "fr" -> Seq("le", "et", "les"),
+    "es" -> Seq("el", "y", "los"),
+    "zh" -> Seq("的", "是", "了"))
+
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = langMarkers.map { case (lang, ms) =>
+      (lang, ms.map(m => occurrences(padded, s" $m ")).reduce(_ + _))
+    }
+    // argmax via struct max: (score, reverse-order tiebreak, lang)
+    val structs = scores.zipWithIndex.map { case ((lang, s), i) =>
+      struct(s.as("s"), lit(langMarkers.size - i).as("tb"), lit(lang).as("lang"))
+    }
+    greatest(structs: _*).getField("lang")
+  }
+
+  /** Exact content fingerprint (md5 — portable across engines). */
+  def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
+
+  /** 64-bit rolling polynomial fingerprint over whitespace tokens
+    * (order-sensitive, unlike a set hash). */
+  def rollingFingerprint(text: Column): Column = {
+    val tokens = filter(split(text, " "), t => length(t) > 0)
+    // modular polynomial hash (M < 2^30 keeps acc*31+h inside Long under ANSI mode)
+    val M = 1000000007L
+    aggregate(tokens, lit(0L),
+      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), lit(M)), lit(M)))
+  }
+}
