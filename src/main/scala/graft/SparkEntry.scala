@@ -201,32 +201,31 @@ object SparkEntry {
 
     // ── non-SQL-expressible ops (rows-only checks) ─────────────────────────────
     "q_minhash_lsh" -> ((s, d) => {
-      // near-dup candidates: shingle → minhash → band → bucket equi-join
-      val docs = t(s, d, "documents").select(col("doc_id"),
-        SimOps.minhash(SimOps.wordShingles(col("text"), 3), 32).as("sig"))
-      val bands = docs.select(col("doc_id"),
+      // near-dup candidates: shingle → minhash → band → bucket group. Shingles are
+      // materialized in their own projection so the 32 hash lambdas don't
+      // re-evaluate them, and candidate pairs come from a groupBy over band
+      // buckets (one pass) instead of a self-join (two evaluations of the
+      // whole pipeline).
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), SimOps.wordShingles(col("text"), 3).as("sh"))
+      val sigs = SimOps.minhashSignatures(sh, "doc_id", "sh", 32)
+      val bands = sigs.select(col("doc_id"),
         posexplode(SimOps.lshBands(col("sig"), bands = 8, rowsPerBand = 4)))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-      bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"))
-        .distinct()
-        .groupBy().agg(count(lit(1)).as("candidate_pairs"))
+      bands.groupBy("band", "bucket")
+        .agg(collect_set(col("doc_id")).as("ids"))
+        .select((size(col("ids")) * (size(col("ids")) - 1) / 2).as("pairs_in_bucket"))
+        .groupBy().agg(sum("pairs_in_bucket").cast("long").as("candidate_pairs"))
     }),
     "q_simhash" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        SimOps.simhash64(col("text")).as("simhash"))),
+      SimOps.simhashSignatures(t(s, d, "documents"), "doc_id", "text")),
     "q_ngram_jaccard" -> ((s, d) => {
       // pairwise n-gram Jaccard within same (lang, source) blocks — blocked to
       // keep the pair count linear-ish; full cross-join is never the plan
       val sh = t(s, d, "documents").select(col("doc_id"), col("lang"), col("source"),
         SimOps.wordShingles(col("text"), 2).as("sh"))
-      sh.as("a").join(sh.as("b"),
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("left_id"), col("b.doc_id").as("right_id"),
-          round(SimOps.jaccard(col("a.sh"), col("b.sh")), 4).as("jac"))
+      SimOps.jaccardPairs(sh, "doc_id", "sh", Seq("lang", "source"))
+        .select(col("left_id"), col("right_id"), round(col("jaccard"), 4).as("jac"))
         .filter(col("jac") >= 0.05)
     }),
     "q_rolling_fp" -> ((s, d) =>

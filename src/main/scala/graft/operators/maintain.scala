@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.CdcMerge
 import graft.sources.LakeTable
 
 /** Maintenance operators mirroring the reference's REPLACE-vs-UPDATE query modes and
@@ -25,14 +26,17 @@ object Maintain {
     */
   def deleteWhere(table: LakeTable, pred: Column): Long = {
     val s = table.snapshot
-    val cur = table.read()
-    val hit = cur.filter(pred)
+    val cur = CdcMerge.resolve(table.read())
+    val hit = cur.filter(pred && !col("_deleted"))
       .select(LakeTable.bucketCol(col("conv_id"), s.numBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     if (hit.isEmpty) return 0L
-    val before = table.readBuckets(hit)
-    val kept = before.filter(!pred)
-    val removed = before.count() - kept.count()
+    // resolve first (under merge-on-read a key may have stale versions in older
+    // files — rewriting unresolved rows would resurrect them), keep tombstones
+    val before = CdcMerge.resolve(table.readBuckets(hit))
+    val kept = before.filter(col("_deleted") || !pred)
+    val removed = before.filter(!col("_deleted")).count() -
+      kept.filter(!col("_deleted")).count()
     val newFiles = table.writeDataFiles(
       kept.withColumn("_gbucket", LakeTable.bucketCol(col("conv_id"), s.numBuckets))
         .repartition(col("_gbucket")),
@@ -52,7 +56,7 @@ object Maintain {
     */
   def compact(table: LakeTable, purgeTombstonesBelow: Long = Long.MinValue): Unit = {
     val s = table.snapshot
-    val all = table.read()
+    val all = CdcMerge.resolve(table.read())
       .filter(!(col("_deleted") && col("_lsn") < purgeTombstonesBelow))
       .withColumn("_gbucket", LakeTable.bucketCol(col("conv_id"), s.numBuckets))
       .repartition(col("_gbucket"))

@@ -61,9 +61,16 @@ object CdcMerge {
   private def payloadSchema(physical: org.apache.spark.sql.types.StructType) =
     org.apache.spark.sql.types.StructType(physical.fields.filterNot(f => sysCols.contains(f.name)))
 
-  /** The user-visible current table state: tombstones filtered, system cols dropped. */
+  /** LWW-resolve raw lake rows: one row per key, max `_lsn` wins. Under
+    * merge-on-read a key may have one version per appended file; under
+    * copy-on-write this is a semantic no-op. */
+  def resolve(raw: DataFrame): DataFrame =
+    Dedup.lww(raw, Schemas.keyCols, "_lsn").drop("n_events", "_lsn_min")
+
+  /** The user-visible current table state: LWW-resolved, tombstones filtered,
+    * system cols dropped. */
   def state(table: LakeTable): DataFrame =
-    table.read().filter(!col("_deleted")).drop(sysCols: _*)
+    resolve(table.read()).filter(!col("_deleted")).drop(sysCols: _*)
 
   /** Rows that can never be merged (null key parts / unknown op) and why. */
   def rejectReason(df: DataFrame): org.apache.spark.sql.Column =
@@ -71,15 +78,30 @@ object CdcMerge {
       .when(col("turn_idx").isNull, "null turn_idx")
       .when(!col("op").isin(validOps.map(lit): _*), "invalid op")
 
+  /** How many epochs a skew sample stays fresh. */
+  val skewSampleEvery: Int = 8
+  private val skewCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Double)]()
+
+  private val debug = sys.env.contains("SPARK_GRAFT_MERGE_DEBUG")
+  private def timed[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (debug) System.err.println(f"[merge-timing] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
   def applyBatch(
       table: LakeTable,
       batch: DataFrame,
       epochId: Long,
       queryId: String,
-      broadcastKeyLimit: Long = 4000000L,
+      broadcastKeyLimit: Long = 1000000L,
       saltThreshold: Double = 0.2,
-      saltBuckets: Int = 16
+      saltBuckets: Int = 16,
+      mode: String = "mor" // "mor" (append winners, resolve on read) | "cow"
   ): BatchResult = {
+    require(mode == "mor" || mode == "cow", s"unknown merge mode: $mode")
     val spark = table.spark
     // 1. Exactly-once: skip epochs already in the committed ledger (foreachBatch may
     //    redeliver a batch after crash-restart; the checkpoint replays it, we no-op).
@@ -89,18 +111,15 @@ object CdcMerge {
     val snap = table.snapshot
 
     // 2. Dead-letter split (reference: EK_REJECTED_OBSERVATION_FACT with REASON).
+    //    The reject COUNT rides along the dedup scan as a CollectMetrics
+    //    observation — a clean batch pays zero extra jobs/scans; only a dirty
+    //    batch pays a second scan to materialize the dead-letter rows.
     val reason = rejectReason(batch)
-    val rejects = batch.withColumn("reason", reason).filter(col("reason").isNotNull)
     val rejectsPath = s"${table.dir}/_rejects/q=$queryId/e=$epochId"
-    // Overwrite by epoch path → re-running a crashed epoch is idempotent here too.
-    val nRejects = {
-      val r = rejects.persist(StorageLevel.MEMORY_AND_DISK)
-      val n = r.count()
-      if (n > 0) r.write.mode(SaveMode.Overwrite).parquet(rejectsPath)
-      r.unpersist()
-      n
-    }
-    val good = batch.filter(reason.isNull)
+    val rejectObs = new org.apache.spark.sql.Observation()
+    val observed = batch.observe(rejectObs,
+      sum(when(reason.isNotNull, 1L).otherwise(0L)).as("n_rejects"))
+    val good = observed.filter(rejectReason(observed).isNull)
 
     // 3. Schema evolution: widen/extend the target schema to accept this batch.
     val incomingPayload = Schemas.payloadOf(good.schema)
@@ -114,7 +133,19 @@ object CdcMerge {
 
     // 4. LWW dedup — salted two-phase when a sampled hot key exceeds the threshold
     //    (north rule: salt hot conv_ids before the key-partitioned shuffle).
-    val hotShare = Skew.topKeyShare(good, "conv_id")
+    //    The sample is re-taken only every `skewSampleEvery` epochs per (table,
+    //    query): skew drifts slowly, and a per-batch sampling job is pure serial
+    //    overhead in the stream's critical path.
+    val skewKey = s"${table.dir}|$queryId"
+    val hotShare = timed("skew-sample") {
+      Option(skewCache.get(skewKey)) match {
+        case Some((sampledAt, share)) if epochId - sampledAt < skewSampleEvery => share
+        case _ =>
+          val share = Skew.topKeyShare(good, "conv_id")
+          skewCache.put(skewKey, (epochId, share))
+          share
+      }
+    }
     val deduped =
       if (hotShare >= saltThreshold) Dedup.lwwSalted(good, Schemas.keyCols, "lsn", saltBuckets)
       else Dedup.lww(good, Schemas.keyCols, "lsn")
@@ -124,12 +155,23 @@ object CdcMerge {
 
     try {
       // 5. Per-bucket lineage stats in ONE aggregation (also yields touched buckets).
-      val stats = changes.groupBy("_gbucket").agg(
+      val stats = timed("dedup+stats")(changes.groupBy("_gbucket").agg(
         min("_lsn_min").as("lsn_min"), max("lsn").as("lsn_max"),
         count(lit(1)).as("rows_applied"),
         sum(when(col("op") === "D", 1L).otherwise(0L)).as("deletes"),
         sum(col("n_events") - 1L).as("conflicts")
-      ).collect()
+      ).collect())
+
+      // the observation resolved with the stats job (same scan)
+      val nRejects = timed("rejects") {
+        val n = rejectObs.get.get("n_rejects").flatMap(Option(_))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        if (n > 0)
+          batch.withColumn("reason", rejectReason(batch))
+            .filter(col("reason").isNotNull)
+            .write.mode(SaveMode.Overwrite).parquet(rejectsPath)
+        n
+      }
 
       if (stats.isEmpty) {
         // Empty batch still advances the ledger so redelivery is skipped.
@@ -145,32 +187,53 @@ object CdcMerge {
       val deletes = stats.map(_.getLong(4)).sum
       val conflicts = stats.map(_.getLong(5)).sum
 
-      // 6. Copy-on-write merge of ONLY the touched buckets. LWW is enforced ACROSS
-      //    batches by comparing against the stored _lsn: unmatched old rows pass
-      //    through untouched (anti-join against the — usually broadcast — key set,
-      //    so the target side is never shuffled); matched old rows re-enter the
-      //    LWW aggregation together with the batch winners, and deletes persist as
-      //    tombstones so an out-of-order older upsert cannot resurrect a key.
-      val old = LakeTable.align(table.readBuckets(touched), evolved)
-      val keys = changes.select(Schemas.keyCols.map(col): _*)
-      val keyedKeys = if (keysTouched <= broadcastKeyLimit) broadcast(keys) else keys
-      val untouchedRows = old.join(keyedKeys, Schemas.keyCols, "left_anti")
-      val matchedOld = old.join(keyedKeys, Schemas.keyCols, "left_semi")
+      // 6. The merge itself. LWW is enforced ACROSS batches by the stored _lsn, and
+      //    deletes persist as tombstones, so an out-of-order older upsert can never
+      //    clobber or resurrect a key.
+      //
+      //    mode="mor" (merge-on-read, the streaming-ingest default): ONLY the batch
+      //    winners are appended — no target read, no write amplification; readers
+      //    resolve max-_lsn per key (Iceberg MoR analog; reference analog: the
+      //    append-on-update flag, dest/I2b2QueryResultsHandler.java:678).
+      //    Maintain.compact folds versions back to one row per key.
+      //
+      //    mode="cow" (copy-on-write): touched buckets are rewritten fully
+      //    resolved — unmatched old rows pass through an anti-join against the
+      //    (usually broadcast) batch key set so the target side is never shuffled;
+      //    matched rows re-enter the LWW aggregation with the batch winners.
       val changePhysical = LakeTable.align(
         changes.withColumn("_lsn", col("lsn"))
           .withColumn("_deleted", col("op") === "D"),
         evolved)
-      val winners = Dedup.lww(matchedOld.unionByName(changePhysical),
-          Schemas.keyCols, "_lsn")
-        .drop("n_events", "_lsn_min")
-      val merged = untouchedRows.unionByName(winners)
-        .withColumn("_gbucket", LakeTable.bucketCol(col("conv_id"), snap.numBuckets))
-        // One shuffle of the rewritten data only, sized to the touched buckets, so
-        // each bucket lands in few files (AQE coalesces small partitions).
-        .repartition(col("_gbucket"))
+      // Pinned partition count for the pre-write shuffle: without it AQE coalesces
+      // this exchange to ~64MB partitions and the parquet write serializes onto
+      // 1-2 tasks — measured as flat N→4N scaling.
+      // = shuffle.partitions, NOT max(·, touched buckets): partitionBy splits each
+      // task's output per bucket anyway, so file count stays ~|touched| while task
+      // count tracks the cluster size (64 tasks on 2 cores is pure overhead).
+      val writeParallelism = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val (merged, kept) = mode match {
+        case "mor" =>
+          val m = changePhysical
+            .withColumn("_gbucket", LakeTable.bucketCol(col("conv_id"), snap.numBuckets))
+            .repartition(writeParallelism, col("_gbucket"))
+          (m, snap.files)
+        case "cow" =>
+          val old = LakeTable.align(table.readBuckets(touched), evolved)
+          val keys = changes.select(Schemas.keyCols.map(col): _*)
+          val keyedKeys = if (keysTouched <= broadcastKeyLimit) broadcast(keys) else keys
+          val untouchedRows = old.join(keyedKeys, Schemas.keyCols, "left_anti")
+          val matchedOld = old.join(keyedKeys, Schemas.keyCols, "left_semi")
+          val winners = Dedup.lww(matchedOld.unionByName(changePhysical),
+              Schemas.keyCols, "_lsn")
+            .drop("n_events", "_lsn_min")
+          val m = untouchedRows.unionByName(winners)
+            .withColumn("_gbucket", LakeTable.bucketCol(col("conv_id"), snap.numBuckets))
+            .repartition(writeParallelism, col("_gbucket"))
+          (m, snap.files.filterNot(f => touched.contains(f.bucket)))
+      }
 
-      val newFiles = table.writeDataFiles(merged, snap.version + 1, schemaId)
-      val kept = snap.files.filterNot(f => touched.contains(f.bucket))
+      val newFiles = timed("merge+write")(table.writeDataFiles(merged, snap.version + 1, schemaId))
 
       // 7. Lineage BEFORE the commit: a crash in between re-runs the epoch and
       //    rewrites the same path deterministically.
@@ -179,13 +242,14 @@ object CdcMerge {
         graft.LineageRow(queryId, epochId, r.getInt(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4), r.getLong(5))
       }.toDF()
-      lineage.coalesce(1).write.mode(SaveMode.Overwrite)
-        .parquet(s"${table.dir}/_lineage/q=$queryId/e=$epochId")
+      timed("lineage")(lineage.coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(s"${table.dir}/_lineage/q=$queryId/e=$epochId"))
 
       // 8. Atomic snapshot commit carrying the epoch ledger.
       table.commit(kept ++ newFiles, schemas, schemaId,
         snap.applied + (queryId -> epochId),
-        Map("graft.operation" -> "merge", "graft.epoch" -> epochId.toString,
+        Map("graft.operation" -> "merge", "graft.mode" -> mode,
+            "graft.epoch" -> epochId.toString,
             "graft.query" -> queryId, "graft.hotKeyShare" -> f"$hotShare%.3f",
             "graft.salted" -> (hotShare >= saltThreshold).toString))
 

@@ -27,7 +27,8 @@ object CdcStream {
       numBuckets: Int = 64,
       availableNow: Boolean = true,
       processingTimeMs: Long = 1000L,
-      maxFilesPerTrigger: Option[Int] = None
+      maxFilesPerTrigger: Option[Int] = None,
+      mergeMode: String = "mor"
   )
 
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
@@ -48,7 +49,7 @@ object CdcStream {
         val table = LakeTable.loadOrCreate(
           batch.sparkSession, cfg.tableDir,
           CdcMerge.physicalSchema(Schemas.payloadOf(batch.schema)), cfg.numBuckets)
-        CdcMerge.applyBatch(table, batch, epochId, cfg.queryId)
+        CdcMerge.applyBatch(table, batch, epochId, cfg.queryId, mode = cfg.mergeMode)
         ()
       }
       .start()

@@ -105,15 +105,15 @@ class CdcMergeSpec extends SparkSpec {
     assert(r.conflicts === 5000L - r.keysTouched)
   }
 
-  test("merge only rewrites touched buckets; untouched files are carried forward") {
+  test("cow merge only rewrites touched buckets; untouched files are carried forward") {
     val t = freshTable("cow", buckets = 32)
     val e0 = ChangeGen.events(spark, 5000L, numConvs = 200, maxTurns = 10, pDelete = 0.0)
-    CdcMerge.applyBatch(t, e0, 0L, "q")
+    CdcMerge.applyBatch(t, e0, 0L, "q", mode = "cow")
     val filesBefore = t.snapshot.files.map(f => f.path -> f.bucket).toMap
     // second batch touching a single conversation → a single bucket
     val e1 = ChangeGen.events(spark, 50L, numConvs = 1, maxTurns = 10, pDelete = 0.0,
       lsnStart = 10000L)
-    val r = CdcMerge.applyBatch(t, e1, 1L, "q")
+    val r = CdcMerge.applyBatch(t, e1, 1L, "q", mode = "cow")
     assert(r.bucketsRewritten === 1)
     val filesAfter = t.snapshot.files
     val untouchedBefore = filesBefore.filter { case (_, b) => !e1Buckets(t, e1).contains(b) }
@@ -121,6 +121,26 @@ class CdcMergeSpec extends SparkSpec {
       assert(filesAfter.exists(_.path == p), s"untouched file $p must be carried forward")
     }
     assert(Oracle.diff(CdcMerge.state(t), Oracle.expectedState(e0.unionByName(e1))).isEmpty)
+  }
+
+  test("mor and cow modes produce identical user-visible state") {
+    val evs = (0 until 3).map { e =>
+      ChangeGen.events(spark, 2000L, numConvs = 30, maxTurns = 6, pDelete = 0.15,
+        seed = 7L + e, lsnStart = e * 2000L)
+    }
+    val states = Seq("mor", "cow").map { mode =>
+      val t = freshTable(s"mode-$mode")
+      evs.zipWithIndex.foreach { case (ev, e) =>
+        CdcMerge.applyBatch(t, ev, e.toLong, "q", mode = mode)
+      }
+      CdcMerge.state(t).orderBy("conv_id", "turn_idx").collect().toSeq
+    }
+    assert(states(0) === states(1))
+    // and both equal the oracle
+    val t2 = freshTable("mode-oracle")
+    evs.zipWithIndex.foreach { case (ev, e) => CdcMerge.applyBatch(t2, ev, e.toLong, "q") }
+    assert(Oracle.diff(CdcMerge.state(t2),
+      Oracle.expectedState(evs.reduce(_.unionByName(_)))).isEmpty)
   }
 
   private def e1Buckets(t: LakeTable, df: org.apache.spark.sql.DataFrame): Set[Int] =

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Multimodal, SimOps, TextOps}
+
+/** Unit specs for the training-data operators: text analysis, dedup/similarity
+  * signatures (column and relational forms agree), multimodal plumbing. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different words appear in this document here"),
+    (4L, "the quick brown fox jumps over the lazy dog") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("tokenCount ignores repeated whitespace") {
+    val r = Seq("a  b   c", "", "  ", "one").toDF("text")
+      .select(TextOps.tokenCount(col("text")).as("n")).collect().map(_.getInt(0))
+    assert(r.toSeq === Seq(3, 0, 0, 1))
+  }
+
+  test("occurrences counts non-overlapping literal matches") {
+    val r = Seq("ababab", "xxx", "aba").toDF("t")
+      .select(TextOps.occurrences(col("t"), "ab").as("n")).collect().map(_.getLong(0))
+    assert(r.toSeq === Seq(3L, 0L, 1L))
+  }
+
+  test("langId picks the language with the most marker words") {
+    val r = Seq("the cat and the dog of war", "der hund und das der und")
+      .toDF("text").select(TextOps.langId(col("text"))).collect().map(_.getString(0))
+    assert(r.toSeq === Seq("en", "de"))
+  }
+
+  test("rollingFingerprint is order-sensitive; md5 fingerprint equals exact dups") {
+    val r = docs.select(col("doc_id"), TextOps.rollingFingerprint(col("text")).as("rfp"),
+      TextOps.fingerprintMd5(col("text")).as("md5")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).sortBy(_._1)
+    assert(r(0)._2 === r(3)._2 && r(0)._3 === r(3)._3) // dup docs agree
+    assert(r(0)._2 !== r(1)._2) // one word differs → different fingerprint
+  }
+
+  test("wordShingles + jaccard: near-dups high, unrelated low") {
+    val sh = docs.select(col("doc_id"), SimOps.wordShingles(col("text"), 2).as("sh"))
+    val j = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        SimOps.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 4L)) === 1.0)
+    assert(j((1L, 2L)) > 0.5)
+    assert(j((1L, 3L)) === 0.0)
+  }
+
+  test("relational jaccardPairs agrees with the column-form jaccard") {
+    val sh = docs.withColumn("block", lit(1))
+      .select(col("block"), col("doc_id"), SimOps.wordShingles(col("text"), 2).as("sh"))
+    val rel = SimOps.jaccardPairs(sh, "doc_id", "sh", Seq("block"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(rel((1L, 4L)) - 1.0) < 1e-12)
+    assert(rel((1L, 2L)) > 0.5)
+    assert(!rel.contains((1L, 3L))) // zero intersection → no joined row at all
+  }
+
+  test("relational minhash signatures: dups identical, near-dups mostly agree") {
+    val sh = docs.select(col("doc_id"), SimOps.wordShingles(col("text"), 2).as("sh"))
+    val sigs = SimOps.minhashSignatures(sh, "doc_id", "sh", 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(4L))
+    val agree12 = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree12 > agree13)
+    assert(agree13 === 0)
+  }
+
+  test("simhash: exact dups equal, near-dups close in hamming, unrelated far") {
+    val s = SimOps.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(s(1L) === s(4L))
+    assert(ham(s(1L), s(2L)) < ham(s(1L), s(3L)))
+  }
+
+  test("hyperplane LSH buckets exact dups together") {
+    val e = Seq((1L, Seq(1.0f, 0.5f, -0.2f)), (2L, Seq(1.0f, 0.5f, -0.2f)),
+      (3L, Seq(-1.0f, -0.5f, 0.9f))).toDF("vec_id", "embedding")
+    val b = e.select(col("vec_id"), SimOps.hyperplaneSig(col("embedding"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) === b(2L))
+  }
+
+  test("cosine similarity: identical=1, orthogonal=0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(SimOps.cosine(col("a"), col("b")).as("ab"),
+      SimOps.cosine(col("a"), col("c")).as("ac")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("multimodal: decode/featurize plumbing is deterministic and partition-safe") {
+    val media = Seq(
+      (1L, "fake-jpeg-bytes-aaaa".getBytes, "image"),
+      (2L, "fake-wav-bytes-bbbbb".getBytes, "audio"),
+      (3L, "fake-mp4-bytes-ccccc".getBytes, "video")
+    ).toDF("id", "payload", "media_type")
+    val out = Multimodal.decodeAndFeaturize(media, "id", "payload", "media_type")
+    assert(out.schema("media").dataType === Multimodal.mediaMetaSchema)
+    val rows = out.orderBy("id").collect()
+    assert(rows.length === 3)
+    val m3 = rows(2).getStruct(1)
+    assert(m3.getString(0) === "video" && m3.getInt(3) > 1) // videos have frames
+    // deterministic across partitionings
+    val again = Multimodal.decodeAndFeaturize(media.repartition(3), "id", "payload",
+      "media_type").orderBy("id").collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // frame sampling + resize plans are pure column math
+    val plan = out.select(col("id"),
+      Multimodal.frameSamplePlan(col("media.n_frames"), 10, 4).as("frames"))
+    assert(plan.filter(col("id") === 3).collect()(0).getSeq[Int](1).nonEmpty)
+  }
+}
