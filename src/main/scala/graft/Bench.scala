@@ -141,7 +141,11 @@ object Bench {
     // primary N→4N pair: 2 vs 8 cores (this host's clocks throttle above ~16 busy
     // cores, capping even embarrassingly-parallel scaling at ~0.7 — see BASELINE.md
     // "hardware ceiling"); 8 vs 32 reported as a secondary point against that ceiling
-    val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
+    // N=1 vs 4N=4 keeps both runs well below this host's ~16-busy-core clock
+    // throttle AND below memory-bandwidth saturation, so the ratio measures the
+    // ENGINE's scaling, not the box's. 8→32 is additionally reported against the
+    // measured hardware ceiling (BASELINE.md).
+    val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
     def measure(cpus: Int, tag: String): Double = {
       // best-of-k: GC pauses and host noise only ever push a rate DOWN, so the
@@ -156,7 +160,7 @@ object Bench {
     val rateN = measure(nCores, "tn")
     val rate4N = measure(4 * nCores, "t4n")
     val eff = rate4N / (4.0 * rateN)
-    val rate32 = measure(32, "t32")
+    val rate32 = cdcReplayForked(32, epochDirs, s"$work/t32", perEpoch, buckets)
     deleteRecursively(java.nio.file.Paths.get(work))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -55,6 +55,31 @@ class EvolveSpec extends SparkSpec {
     assert(Oracle.diff(state, Oracle.expectedState(union)).isEmpty)
   }
 
+  test("streaming restart with an evolved source schema continues from the same checkpoint") {
+    import graft.streaming.CdcStream
+    import org.apache.spark.sql.types._
+    val src = tmpDir("sevo-src"); val tbl = tmpDir("sevo-tbl"); val ck = tmpDir("sevo-ck")
+    // phase 1: original schema
+    ChangeGen.events(spark, 800L, numConvs = 20, maxTurns = 5, pDelete = 0.0)
+      .repartition(2).write.mode("overwrite").parquet(s"$src/e0")
+    val cfg = CdcStream.Config(src, tbl, ck, queryId = "sevo", numBuckets = 8)
+    CdcStream.runAvailable(spark, cfg)
+    // phase 2: the producer adds tool_version; restart the stream with the new
+    // schema against the SAME checkpoint (how schema change rolls out in practice)
+    ChangeGen.events(spark, 200L, numConvs = 4, maxTurns = 5, pDelete = 0.0,
+      lsnStart = 5000L)
+      .withColumn("tool_version", concat(lit("v"), col("lsn") % 2))
+      .repartition(2).write.mode("overwrite").parquet(s"$src/e1")
+    val evolvedSchema = StructType(Schemas.change.fields.toSeq :+
+      StructField("tool_version", StringType))
+    CdcStream.runAvailable(spark, cfg.copy(schema = evolvedSchema))
+    val t = graft.sources.LakeTable.load(spark, tbl)
+    assert(t.schema.fieldNames.contains("tool_version"))
+    val state = graft.operators.CdcMerge.state(t)
+    assert(state.filter(col("tool_version").isNotNull).count() > 0)
+    assert(state.filter(col("tool_version").isNull).count() > 0)
+  }
+
   test("int→long widen mid-stream: turn_idx widens; pre-widen files stay readable") {
     val dir = tmpDir("evo-widen")
     val t = LakeTable.create(spark, dir, CdcMerge.physicalSchema(Schemas.transcript), 8)

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the optimizations we rely on at 100 TB must actually
+  * appear in the plan — filter/column pushdown to the parquet scan, broadcast for
+  * small dimensions, map-side partial aggregation for the LWW dedup, and no
+  * target-side shuffle in the cow merge. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("date-bound scan pushes filters and prunes columns at the parquet source") {
+    val df = SparkEntry.queries("q_date_bound")(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") &&
+      (scan.contains("GreaterThanOrEqual(l_shipdate") || scan.contains("IsNotNull(l_shipdate")),
+      s"filters not pushed:\n$scan")
+    assert(scan.contains("ReadSchema") && !scan.contains("l_extendedprice"),
+      s"column pruning failed (l_extendedprice read for a 4-col projection):\n$scan")
+  }
+
+  test("fk chain broadcasts the small dimension side") {
+    val p = executedPlan(SparkEntry.queries("q_fk_chain")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+  }
+
+  test("semi and anti joins compile to hash joins, not nested loops") {
+    val semi = executedPlan(SparkEntry.queries("q_semi_keyset")(spark, sf))
+    val anti = executedPlan(SparkEntry.queries("q_anti_orphans")(spark, sf))
+    assert(semi.contains("LeftSemi") && !semi.contains("NestedLoop"), semi)
+    assert(anti.contains("LeftAnti") && !anti.contains("NestedLoop"), anti)
+  }
+
+  test("LWW dedup aggregates with map-side partial aggregation (no window sort)") {
+    val ev = ChangeGen.events(spark, 100L)
+    val plan = graft.operators.Dedup.lww(ev).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      s"expected partial hash aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"dedup must not fall back to a window sort:\n$plan")
+  }
+
+  test("relational minhash compiles to codegen'd aggregates over an explode") {
+    import spark.implicits._
+    val sh = Seq((1L, Seq("a b", "b c"))).toDF("doc_id", "sh")
+    val plan = graft.functions.SimOps.minhashSignatures(sh, "doc_id", "sh", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && plan.contains("Generate"), plan)
+  }
+
+  test("whole-stage codegen covers the hot scan+filter+project pipeline") {
+    val df = SparkEntry.queries("q_valtype_encode")(spark, sf)
+    val p = executedPlan(df)
+    // "*(n)" prefixes mark WholeStageCodegen spans in SparkPlan.toString
+    assert(p.contains("*(1)"), s"no codegen span:\n$p")
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{CdcMerge, Dedup}
+import graft.sources.LakeTable
+
+/** Property tests (SURVEY.md §5): LWW well-definedness and merge invariances over
+  * ScalaCheck-generated event sets (raw Gen sampling — scalatestplus is not in the
+  * offline cache). Cases are seeded → fully deterministic.
+  *  - dedup(events) == oracle reduction, for any event set
+  *  - permuting intra-batch event order never changes the final state
+  *  - any 2-way split of a batch applied as two epochs == one epoch
+  *  - re-applying any batch (duplicate delivery) is a no-op
+  */
+class PropertySpec extends SparkSpec {
+
+  private val eventGen: Gen[List[(String, Int, String, String, String, Long)]] =
+    for {
+      n <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(n, for {
+        conv <- Gen.choose(0, 6).map(i => s"c$i")
+        turn <- Gen.choose(0, 4)
+        role <- Gen.oneOf("user", "assistant", "tool")
+        text <- Gen.alphaStr.map(_.take(12))
+        op <- Gen.frequency(5 -> "I", 3 -> "U", 2 -> "D")
+      } yield (conv, turn, role, text, op, 0L))
+    } yield rows.zipWithIndex.map { case ((c, t, r, x, o, _), i) =>
+      (c, t, r, x, o, i.toLong) // unique, increasing LSNs
+    }
+
+  private def cases(n: Int): Seq[List[(String, Int, String, String, String, Long)]] =
+    (1 to n).map(i => eventGen.apply(Gen.Parameters.default, Seed(1000L + i))
+      .getOrElse(Nil)).filter(_.nonEmpty)
+
+  private def toDf(rows: List[(String, Int, String, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (c, t, r, x, o, l) =>
+      (c, t, r, x, null.asInstanceOf[String], new Timestamp(1700000000000L + l), o, l)
+    }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "op", "lsn")
+  }
+
+  private def stateOf(dfs: Seq[DataFrame], name: String): Seq[Row] = {
+    val t = LakeTable.create(spark, tmpDir(name), CdcMerge.physicalSchema(Schemas.transcript), 4)
+    dfs.zipWithIndex.foreach { case (df, e) => CdcMerge.applyBatch(t, df, e.toLong, "p") }
+    CdcMerge.state(t).orderBy("conv_id", "turn_idx").collect().toSeq
+  }
+
+  test("property: dedup equals the independent oracle reduction") {
+    cases(6).foreach { rows =>
+      val df = toDf(rows)
+      val viaEngine = Dedup.lww(df).filter(org.apache.spark.sql.functions.col("op") =!= "D")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      assert(Oracle.diff(viaEngine, Oracle.expectedState(df)).isEmpty, s"case: $rows")
+    }
+  }
+
+  test("property: intra-batch event order never affects the final state") {
+    cases(3).zipWithIndex.foreach { case (rows, i) =>
+      val rnd = new scala.util.Random(i)
+      val a = stateOf(Seq(toDf(rows)), s"perm-a$i")
+      val b = stateOf(Seq(toDf(rnd.shuffle(rows))), s"perm-b$i")
+      assert(a === b, s"case $i")
+    }
+  }
+
+  test("property: any 2-way batch split applied as two epochs equals one epoch") {
+    cases(3).zipWithIndex.foreach { case (rows, i) =>
+      val rnd = new scala.util.Random(100 + i)
+      // split at an arbitrary position of a shuffle — NOT by lsn — so the two
+      // epochs interleave LSNs (the hostile ordering for cross-batch LWW)
+      val (x, y) = rnd.shuffle(rows).splitAt(rnd.nextInt(rows.size + 1))
+      val whole = stateOf(Seq(toDf(rows)), s"split-w$i")
+      val split = stateOf(Seq(toDf(x), toDf(y)), s"split-s$i")
+      assert(whole === split, s"case $i cut=${x.size}")
+    }
+  }
+
+  test("property: duplicate delivery of any batch is a no-op") {
+    cases(3).zipWithIndex.foreach { case (rows, i) =>
+      val once = stateOf(Seq(toDf(rows)), s"dup-a$i")
+      val twice = stateOf(Seq(toDf(rows), toDf(rows)), s"dup-b$i")
+      assert(once === twice, s"case $i")
+    }
+  }
+}
