@@ -46,6 +46,25 @@ class StreamSpec extends SparkSpec {
     assert(Oracle.diff(CdcMerge.state(t), Oracle.expectedState(all)).isEmpty)
   }
 
+  test("tail mode: ProcessingTime trigger picks up files arriving while the stream runs") {
+    val src = tmpDir("tl-src"); val tbl = tmpDir("tl-tbl"); val ckpt = tmpDir("tl-ck")
+    ChangeGen.events(spark, 500L, 10, 5, 0.0, 0.0).repartition(2)
+      .write.mode("overwrite").parquet(s"$src/e0")
+    val q = CdcStream.start(spark, CdcStream.Config(src, tbl, ckpt, queryId = "tail",
+      numBuckets = 8, availableNow = false, processingTimeMs = 500L))
+    try {
+      q.processAllAvailable()
+      // new data lands while the stream is live
+      ChangeGen.events(spark, 300L, 10, 5, 0.0, 0.0, seed = 7L, lsnStart = 1000L)
+        .repartition(2).write.mode("overwrite").parquet(s"$src/e1")
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = LakeTable.load(spark, tbl)
+    val all = ChangeGen.events(spark, 500L, 10, 5, 0.0, 0.0).unionByName(
+      ChangeGen.events(spark, 300L, 10, 5, 0.0, 0.0, seed = 7L, lsnStart = 1000L))
+    assert(Oracle.diff(CdcMerge.state(t), Oracle.expectedState(all)).isEmpty)
+  }
+
   test("crash orphans: data files written without a manifest commit are invisible and harmless") {
     val dir = tmpDir("orph")
     val t = LakeTable.create(spark, dir, CdcMerge.physicalSchema(Schemas.transcript), 8)
