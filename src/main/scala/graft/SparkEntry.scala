@@ -43,6 +43,31 @@ object SparkEntry {
         round(sum("value").over(w), 3).as("running_value"))
     }),
 
+    "q_sessionize" -> ((s, d) => {
+      // session analytics over the event stream: a new session starts after a
+      // >30-minute gap; windows = lag + running sum (SURVEY §2.5 family)
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("brk",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("brk").as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+    "q_link_traversal" -> ((s, d) => {
+      // J3 derivation-link traversal: forward join each record to its derived
+      // successor (same parent key, next ordinal)
+      val li = t(s, d, "lineitem")
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("b.l_linenumber") === col("a.l_linenumber") + 1)
+        .groupBy(col("a.l_orderkey").as("l_orderkey"))
+        .agg(count(lit(1)).as("n_links"),
+          round(sum(col("b.l_quantity") - col("a.l_quantity")), 2).as("qty_drift"))
+    }),
+
     // ── scans / filters / projections (SURVEY §2.1-2.2) ───────────────────────
     "q_date_bound" -> ((s, d) =>
       // P5 date-bounded scan with projection (filter + column pruning pushed to scan)
@@ -254,6 +279,23 @@ object SparkEntry {
                 round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id), 3)
                   AS running_value
          FROM events""",
+    "q_sessionize" ->
+      """SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions,
+                count(*) AS n_events
+         FROM (SELECT user_id,
+                      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                           ORDER BY ts, event_id)) > 1800
+                        THEN 1 ELSE 0 END AS brk
+               FROM events)
+         GROUP BY user_id""",
+    "q_link_traversal" ->
+      """SELECT a.l_orderkey, count(*) AS n_links,
+                round(sum(b.l_quantity - a.l_quantity), 2) AS qty_drift
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND b.l_linenumber = a.l_linenumber + 1
+         GROUP BY a.l_orderkey""",
     "q_date_bound" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
          WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'""",
