@@ -25,7 +25,8 @@ object Bench {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toList)
+        .foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 
@@ -82,7 +83,12 @@ object Bench {
         Seq(s"-XX:ActiveProcessorCount=$pinCpus", "-cp", cp, "graft.Bench", "replay",
           cpus.toString, srcEpochs.mkString(","), tableDir, eventsPerEpoch.toString,
           buckets.toString)).asJava
-      val p = new ProcessBuilder(cmd).redirectErrorStream(false).start()
+      // stderr must NOT be a pipe we never drain: Spark logs to stderr, and once
+      // the ~64 KiB pipe buffer fills, the child blocks on a stderr write while
+      // we block in readAllBytes() — a silent deadlock. Inherit it instead
+      // (keeps stdout piped for RATE parsing).
+      val p = new ProcessBuilder(cmd)
+        .redirectError(ProcessBuilder.Redirect.INHERIT).start()
       val out = new String(p.getInputStream.readAllBytes())
       p.waitFor()
       out.linesIterator.collectFirst { case l if l.startsWith("RATE=") =>
@@ -157,9 +163,10 @@ object Bench {
         r
       }.max
     }
-    // repeats only where a down-outlier would bias the RATIO down (the 4N
-    // numerator); an N-side down-outlier only flatters it, so one run is fair
-    val rateN = measure(nCores, "tn", 1)
+    // SYMMETRIC best-of-k on both sides: noise removal must treat the numerator
+    // and denominator identically, or a down-outlier in the single-run side
+    // permanently biases the reported ratio (up, if it lands on N)
+    val rateN = measure(nCores, "tn", repeats)
     val rate4N = measure(4 * nCores, "t4n", repeats)
     val eff = rate4N / (4.0 * rateN)
     val rate32 = cdcReplayForked(32, epochDirs, s"$work/t32", perEpoch, buckets)

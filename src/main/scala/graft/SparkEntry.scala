@@ -132,6 +132,20 @@ object SparkEntry {
         .join(paths, paths("path").startsWith(concat(col("r_name"), lit("/"))))
         .groupBy("r_name").agg(count(lit(1)).as("descendants"))
     }),
+    "q_code_decode" -> ((s, d) =>
+      // S3 code-mapping decode: remap a fact-side code column through a SMALL
+      // broadcast mapping dimension, with a '@' sentinel for unmapped codes
+      // (reference dsb/I2B2DataSourceBackend.java:176-181 decodes DB codes via
+      // TSV resource maps; etc/i2b2dsb/*.txt). The mapping dim here is the
+      // supplier table restricted to even keys so the unmapped path is exercised.
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "supplier")
+          .filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"), "left_outer")
+        .groupBy(coalesce(col("s_name"), lit("@")).as("supp_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum("l_quantity"), 2).as("sum_qty"))),
     "q_keyset_meta" -> ((s, d) =>
       // S4 3-table metadata lookup with flag filters
       t(s, d, "region")
@@ -188,8 +202,17 @@ object SparkEntry {
 
     // ── training-data pipeline ops over documents/embeddings ──────────────────
     "q_dedup_exact" -> ((s, d) =>
-      t(s, d, "documents").groupBy("text").agg(
-        min("doc_id").as("keep_id"), count(lit(1)).as("copies"))),
+      // exact dedup grouped by the 16-byte md5 FINGERPRINT, not the raw text:
+      // the shuffle key carries 32 hex chars instead of whole documents (at
+      // 100 TB that is the whole ballgame). min=max text per fingerprint is the
+      // collision check — assert_true fails the query loudly on an md5 collision
+      // instead of silently merging two distinct documents.
+      t(s, d, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("_fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"),
+          min("text").as("text"), max("text").as("_mx"))
+        .filter(assert_true(col("text") === col("_mx")).isNull)
+        .select("text", "keep_id", "copies")),
     "q_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextOps.fingerprintMd5(col("text")).as("fp"))),
@@ -339,6 +362,14 @@ object SparkEntry {
                FROM nation JOIN region ON n_regionkey = r_regionkey) p
            ON p.path LIKE r.r_name || '/%'
          GROUP BY r.r_name""",
+    "q_code_decode" ->
+      """SELECT coalesce(s_name, '@') AS supp_name, count(*) AS n_lines,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         LEFT OUTER JOIN (SELECT s_suppkey, s_name FROM supplier
+                          WHERE s_suppkey % 2 = 0) m
+           ON l_suppkey = m.s_suppkey
+         GROUP BY coalesce(s_name, '@')""",
     "q_keyset_meta" ->
       """SELECT r_name, n_name, count(*) AS n_cust
          FROM region

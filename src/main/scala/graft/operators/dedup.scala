@@ -58,14 +58,25 @@ object Dedup {
 /** Hot-key detection for choosing the salted path.
   * Reference analog: none (single-node JDBC has no shuffle skew); north-rule-new. */
 object Skew {
-  /** Approximate share of the most frequent value of `keyCol`, from a bounded sample.
-    * Cheap (one pass over ≤`sampleRows` rows); used to decide lww vs lwwSalted. */
-  def topKeyShare(df: DataFrame, keyCol: String, sampleRows: Long = 100000L): Double = {
-    val s = df.select(keyCol).limit(sampleRows.toInt)
-      .groupBy(keyCol).count()
-      .agg(max("count").as("mx"), sum("count").as("tot"))
-      .collect()(0)
-    if (s.isNullAt(1) || s.getLong(1) == 0L) 0.0
-    else s.getLong(0).toDouble / s.getLong(1).toDouble
+  /** Approximate share of the most frequent value of `keyCol`.
+    *
+    * Sampled with `df.sample(fraction)` — NOT `limit(n)`, which takes the FIRST
+    * partitions (= the first files of the batch) and is blind to a hot key
+    * concentrated in later files. `sample` draws from every partition. If the
+    * sample turns out tiny (< `minSample` rows, i.e. the batch itself is small),
+    * fall back to an exact count over the full batch — cheap by construction.
+    * One column is scanned either way. */
+  def topKeyShare(df: DataFrame, keyCol: String, fraction: Double = 0.05,
+                  minSample: Long = 1000L): Double = {
+    def share(d: DataFrame): (Double, Long) = {
+      val s = d.groupBy(keyCol).count()
+        .agg(max("count").as("mx"), sum("count").as("tot"))
+        .collect()(0)
+      if (s.isNullAt(1) || s.getLong(1) == 0L) (0.0, 0L)
+      else (s.getLong(0).toDouble / s.getLong(1).toDouble, s.getLong(1))
+    }
+    val (approx, sampled) = share(df.select(keyCol).sample(fraction, 42L))
+    if (sampled >= minSample) approx
+    else share(df.select(keyCol))._1 // batch < minSample/fraction rows: exact is cheap
   }
 }

@@ -25,22 +25,33 @@ object Maintain {
     * Copy-on-write: only files that actually contain matching rows are rewritten.
     */
   def deleteWhere(table: LakeTable, pred: Column): Long = {
+    // Normalize NULL predicates ONCE (SQL DELETE semantics: NULL = no match, row
+    // kept) and use the same normalized form for bucket selection and the kept
+    // filter — otherwise a NULL-pred row is deleted only when it shares a bucket
+    // with a true match (inconsistent, bucket-dependent results).
+    val p = coalesce(pred, lit(false))
     val s = table.snapshot
     val cur = CdcMerge.resolve(table.read())
-    val hit = cur.filter(pred && !col("_deleted"))
+    val hit = cur.filter(p && !col("_deleted"))
       .select(LakeTable.bucketCol(col("conv_id"), s.numBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     if (hit.isEmpty) return 0L
     // resolve first (under merge-on-read a key may have stale versions in older
     // files — rewriting unresolved rows would resurrect them), keep tombstones
+    val live = sum(when(!col("_deleted"), 1L).otherwise(0L))
+    val beforeObs = new org.apache.spark.sql.Observation()
+    val keptObs = new org.apache.spark.sql.Observation()
     val before = CdcMerge.resolve(table.readBuckets(hit))
-    val kept = before.filter(col("_deleted") || !pred)
-    val removed = before.filter(!col("_deleted")).count() -
-      kept.filter(!col("_deleted")).count()
+      .observe(beforeObs, live.as("live"))
+    val kept = before.filter(col("_deleted") || !p).observe(keptObs, live.as("live"))
     val newFiles = table.writeDataFiles(
       kept.withColumn("_gbucket", LakeTable.bucketCol(col("conv_id"), s.numBuckets))
         .repartition(col("_gbucket")),
       s.version + 1, s.currentSchemaId)
+    // both observations resolved by the write job — no extra count() scans
+    def liveOf(o: org.apache.spark.sql.Observation): Long =
+      o.get.get("live").flatMap(Option(_)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val removed = liveOf(beforeObs) - liveOf(keptObs)
     val carried = s.files.filterNot(f => hit.contains(f.bucket))
     table.commit(carried ++ newFiles, s.schemas, s.currentSchemaId, s.applied,
       Map("graft.operation" -> "delete", "graft.rowsDeleted" -> removed.toString))
@@ -70,13 +81,12 @@ object Maintain {
     * snapshots older than the latest `keepSnapshots`. Returns deleted file count. */
   def vacuum(table: LakeTable, keepSnapshots: Int = 3): Int = {
     import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
     val history = LakeTable.history(table.dir)
     val live = history.takeRight(keepSnapshots).flatMap(_.files.map(_.path)).toSet
     val dataDir = Paths.get(table.dir, "data")
     if (!Files.isDirectory(dataDir)) return 0
     var n = 0
-    Files.list(dataDir).iterator().asScala.foreach { p =>
+    LakeTable.listDir(dataDir).foreach { p =>
       val rel = s"data/${p.getFileName}"
       if (!live.contains(rel)) { Files.deleteIfExists(p); n += 1 }
     }

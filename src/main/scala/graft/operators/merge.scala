@@ -72,11 +72,42 @@ object CdcMerge {
   def state(table: LakeTable): DataFrame =
     resolve(table.read()).filter(!col("_deleted")).drop(sysCols: _*)
 
-  /** Rows that can never be merged (null key parts / unknown op) and why. */
-  def rejectReason(df: DataFrame): org.apache.spark.sql.Column =
-    when(col("conv_id").isNull, "null conv_id")
+  /** Rows that can never be merged (null key parts / null or unknown op /
+    * unknown role when a known-role guard is configured) and why.
+    *
+    * `op.isNull` gets its own branch: `!isin(...)` evaluates to NULL for a null
+    * op, which would neither reject nor apply the row — it would flow through
+    * dedup with `_deleted = (op === "D")` = NULL and be silently dropped by
+    * state()'s `!_deleted` filter (invisible data loss, no dead-letter entry).
+    *
+    * `knownRoles` is the concept-existence guard (SURVEY §2.2 P6; reference
+    * dest/table/PropositionFactHandler.java:145-149 skips facts whose concept
+    * is missing from the metadata cache): a small broadcast-able membership set
+    * — rows outside it divert to the dead-letter table instead of polluting the
+    * target. */
+  def rejectReason(df: DataFrame,
+                   knownRoles: Option[Seq[String]] = None): org.apache.spark.sql.Column = {
+    val base = when(col("conv_id").isNull, "null conv_id")
       .when(col("turn_idx").isNull, "null turn_idx")
+      .when(col("op").isNull, "null op")
       .when(!col("op").isin(validOps.map(lit): _*), "invalid op")
+    knownRoles match {
+      case Some(roles) =>
+        base.when(col("role").isNotNull && !col("role").isin(roles.map(lit): _*),
+          "unknown role")
+      case None => base
+    }
+  }
+
+  /** Warn-once ledger for the concept-existence guard: distinct unknown values
+    * already logged this JVM (reference analog: the warn-once set in
+    * PropositionFactHandler.java:147). */
+  private val warnedUnknown: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def warnedUnknownValues: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    warnedUnknown.asScala.toSet
+  }
 
   /** How many epochs a skew sample stays fresh. */
   val skewSampleEvery: Int = 8
@@ -99,7 +130,8 @@ object CdcMerge {
       broadcastKeyLimit: Long = 1000000L,
       saltThreshold: Double = 0.2,
       saltBuckets: Int = 16,
-      mode: String = "mor" // "mor" (append winners, resolve on read) | "cow"
+      mode: String = "mor", // "mor" (append winners, resolve on read) | "cow"
+      knownRoles: Option[Seq[String]] = None // P6 concept-existence guard
   ): BatchResult = {
     require(mode == "mor" || mode == "cow", s"unknown merge mode: $mode")
     val spark = table.spark
@@ -114,12 +146,16 @@ object CdcMerge {
     //    The reject COUNT rides along the dedup scan as a CollectMetrics
     //    observation — a clean batch pays zero extra jobs/scans; only a dirty
     //    batch pays a second scan to materialize the dead-letter rows.
-    val reason = rejectReason(batch)
+    val reason = rejectReason(batch, knownRoles)
     val rejectsPath = s"${table.dir}/_rejects/q=$queryId/e=$epochId"
     val rejectObs = new org.apache.spark.sql.Observation()
+    // collect_set of guard-failing values rides the same observation: its
+    // cardinality is bounded by the distinct unknown roles (small by
+    // construction), and it feeds the warn-once log without a second job.
     val observed = batch.observe(rejectObs,
-      sum(when(reason.isNotNull, 1L).otherwise(0L)).as("n_rejects"))
-    val good = observed.filter(rejectReason(observed).isNull)
+      sum(when(reason.isNotNull, 1L).otherwise(0L)).as("n_rejects"),
+      collect_set(when(reason === "unknown role", col("role"))).as("unknown_roles"))
+    val good = observed.filter(rejectReason(observed, knownRoles).isNull)
 
     // 3. Schema evolution: widen/extend the target schema to accept this batch.
     val incomingPayload = Schemas.payloadOf(good.schema)
@@ -164,10 +200,19 @@ object CdcMerge {
 
       // the observation resolved with the stats job (same scan)
       val nRejects = timed("rejects") {
-        val n = rejectObs.get.get("n_rejects").flatMap(Option(_))
+        val metrics = rejectObs.get
+        val n = metrics.get("n_rejects").flatMap(Option(_))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
+        // warn ONCE per distinct unknown guard value per JVM (reference analog:
+        // PropositionFactHandler.java:145-149's warn-once on missing concepts)
+        metrics.get("unknown_roles").flatMap(Option(_)).foreach { vs =>
+          vs.asInstanceOf[scala.collection.Seq[String]].foreach { v =>
+            if (warnedUnknown.add(v))
+              System.err.println(s"[graft] WARN unknown role '$v' diverted to dead-letter (warn-once)")
+          }
+        }
         if (n > 0)
-          batch.withColumn("reason", rejectReason(batch))
+          batch.withColumn("reason", rejectReason(batch, knownRoles))
             .filter(col("reason").isNotNull)
             .write.mode(SaveMode.Overwrite).parquet(rejectsPath)
         n

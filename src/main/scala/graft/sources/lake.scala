@@ -100,11 +100,11 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
     Files.createDirectories(dataDir)
     val entries = scala.collection.mutable.ListBuffer[FileEntry]()
     val tmpPath = Paths.get(tmp)
-    Files.list(tmpPath).iterator().asScala
+    LakeTable.listDir(tmpPath)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("_gbucket="))
       .foreach { bdir =>
         val bucket = bdir.getFileName.toString.stripPrefix("_gbucket=").toInt
-        Files.list(bdir).iterator().asScala
+        LakeTable.listDir(bdir)
           .filter(_.getFileName.toString.endsWith(".parquet")).zipWithIndex
           .foreach { case (f, i) =>
             val name = f"data/e${version}_b${bucket}_$i%05d.parquet"
@@ -136,6 +136,12 @@ object LakeTable {
   import org.json4s._
   import org.json4s.jackson.Serialization
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
+
+  /** Directory listing that CLOSES the stream (a bare `Files.list` leaks one fd
+    * per call until GC — a long-running streaming driver lists directories every
+    * microbatch and would exhaust the fd table). */
+  private[graft] def listDir(p: Path): List[Path] =
+    scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toList)
 
   def bucketCol(c: Column, numBuckets: Int): Column = pmod(xxhash64(c), lit(numBuckets)).cast("int")
 
@@ -171,10 +177,10 @@ object LakeTable {
   private[sources] def loadLatest(dir: String): Option[Snapshot] = {
     val md = manifestDir(dir)
     if (!Files.isDirectory(md)) return None
-    val versions = Files.list(md).iterator().asScala
+    val versions = listDir(md)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .toList.sorted
+      .sorted
     versions.lastOption.map { n =>
       Serialization.read[Snapshot](Files.readString(md.resolve(n)))
     }
@@ -184,10 +190,10 @@ object LakeTable {
   def history(dir: String): Seq[Snapshot] = {
     val md = manifestDir(dir)
     if (!Files.isDirectory(md)) return Nil
-    Files.list(md).iterator().asScala
+    listDir(md)
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .toList.sorted
+      .sorted
       .map(n => Serialization.read[Snapshot](Files.readString(md.resolve(n))))
   }
 
@@ -202,8 +208,7 @@ object LakeTable {
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

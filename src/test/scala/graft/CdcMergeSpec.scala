@@ -75,6 +75,59 @@ class CdcMergeSpec extends SparkSpec {
     assert(Oracle.diff(CdcMerge.state(t), Oracle.expectedState(ok)).isEmpty)
   }
 
+  test("rejects: NULL op diverts to dead-letter instead of silently vanishing") {
+    val t = freshTable("nullop")
+    val ok = ChangeGen.events(spark, 200L, numConvs = 10, maxTurns = 5, pDelete = 0.0)
+    val nullOp = ok.limit(7)
+      .withColumn("op", lit(null).cast("string"))
+      .withColumn("lsn", col("lsn") + 1000000L)
+    val r = CdcMerge.applyBatch(t, ok.unionByName(nullOp), 0L, "q")
+    assert(r.applied && r.rejects === 7L)
+    assert(CdcMerge.rejects(t, "q").filter(col("reason") === "null op").count() === 7L)
+    // the good rows still landed — nothing was silently dropped
+    assert(Oracle.diff(CdcMerge.state(t), Oracle.expectedState(ok)).isEmpty)
+  }
+
+  test("P6 guard: unknown roles divert with reason and warn exactly once per value") {
+    val t = freshTable("guard")
+    val known = Seq("user", "assistant", "tool", "system")
+    val ok = ChangeGen.events(spark, 300L, numConvs = 10, maxTurns = 5, pDelete = 0.0)
+    val alien = ok.limit(9)
+      .withColumn("role", lit("alien"))
+      .withColumn("lsn", col("lsn") + 1000000L)
+    val r = CdcMerge.applyBatch(t, ok.unionByName(alien), 0L, "q",
+      knownRoles = Some(known))
+    assert(r.applied && r.rejects === 9L)
+    assert(CdcMerge.rejects(t, "q").filter(col("reason") === "unknown role").count() === 9L)
+    assert(CdcMerge.warnedUnknownValues.contains("alien"))
+    assert(Oracle.diff(CdcMerge.state(t), Oracle.expectedState(ok)).isEmpty)
+    // without the guard the same rows flow through (role is payload, not key)
+    val t2 = freshTable("noguard")
+    val r2 = CdcMerge.applyBatch(t2, ok.unionByName(alien), 0L, "q")
+    assert(r2.rejects === 0L)
+  }
+
+  test("skew sample: a hot key living ONLY in the last (smallest) file is detected and salted") {
+    // The old `limit(100000)` sample read the FIRST partitions — Spark packs
+    // files largest-first, so a hot key concentrated in a small tail file was
+    // invisible. `sample(fraction)` draws from every file.
+    val dir = tmpDir("skewtail")
+    val normal = ChangeGen.events(spark, 150000L, numConvs = 5000, maxTurns = 10,
+      pDelete = 0.0)
+    val hot = ChangeGen.events(spark, 50000L, numConvs = 1, maxTurns = 10,
+      pDelete = 0.0, lsnStart = 200000L)
+      .withColumn("conv_id", lit("conv-hot"))
+    normal.coalesce(3).write.parquet(s"$dir/n")
+    hot.coalesce(1).write.parquet(s"$dir/h")
+    val batch = spark.read.parquet(s"$dir/n", s"$dir/h")
+    val share = graft.operators.Skew.topKeyShare(batch, "conv_id")
+    assert(share > 0.15, s"sampled hot-key share $share must see the tail file")
+    val t = freshTable("skewtail")
+    val r = CdcMerge.applyBatch(t, batch, 0L, "q", saltThreshold = 0.15)
+    assert(r.applied)
+    assert(t.snapshot.summary("graft.salted") === "true")
+  }
+
   test("hot-key: 30% skew takes the salted path and matches the unsalted result") {
     val t = freshTable("hot")
     val ev = ChangeGen.events(spark, 20000L, numConvs = 50, maxTurns = 10,
