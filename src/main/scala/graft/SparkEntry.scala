@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{SimOps, TextOps}
+import graft.functions.{PortableHash, SimOps, TextOps}
 
 /** Driver contract — one `queries` entry per implemented operator (SURVEY.md §2),
   * with a DuckDB-equivalent `oracleSql` where the operator is SQL-expressible.
@@ -247,44 +247,49 @@ object SparkEntry {
         .agg(round(avg(norm), 6).as("avg_norm"), count(lit(1)).as("n"))
     }),
 
-    // ── non-SQL-expressible ops (rows-only checks) ─────────────────────────────
+    // ── similarity / near-dup family (portable md5 hashes → full oracles) ──────
     "q_minhash_lsh" -> ((s, d) => {
-      // near-dup candidates: shingle → minhash → band → bucket group. Shingles are
-      // materialized in their own projection so the 32 hash lambdas don't
-      // re-evaluate them, and candidate pairs come from a groupBy over band
-      // buckets (one pass) instead of a self-join (two evaluations of the
-      // whole pipeline).
+      // near-dup candidate COUNT: shingle → minhash → band buckets → per-bucket
+      // count(*) and n·(n−1)/2 arithmetic. No collect_set of ids — a hot bucket
+      // would otherwise accumulate millions of ids into one reducer's array.
       val sh = t(s, d, "documents")
         .select(col("doc_id"), SimOps.wordShingles(col("text"), 3).as("sh"))
       val sigs = SimOps.minhashSignatures(sh, "doc_id", "sh", 32)
-      val bands = sigs.select(col("doc_id"),
-        posexplode(SimOps.lshBands(col("sig"), bands = 8, rowsPerBand = 4)))
-        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-      bands.groupBy("band", "bucket")
-        .agg(collect_set(col("doc_id")).as("ids"))
-        .select((size(col("ids")) * (size(col("ids")) - 1) / 2).as("pairs_in_bucket"))
-        .groupBy().agg(sum("pairs_in_bucket").cast("long").as("candidate_pairs"))
+      SimOps.bandBuckets(sigs, "doc_id", bands = 8, rowsPerBand = 4)
+        .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+        .select((col("n") * (col("n") - 1) / 2).cast("long").as("pairs_in_bucket"))
+        .groupBy().agg(sum("pairs_in_bucket").as("candidate_pairs"))
     }),
     "q_simhash" -> ((s, d) =>
       SimOps.simhashSignatures(t(s, d, "documents"), "doc_id", "text")),
-    "q_ngram_jaccard" -> ((s, d) => {
-      // pairwise n-gram Jaccard within same (lang, source) blocks — blocked to
-      // keep the pair count linear-ish; full cross-join is never the plan
-      val sh = t(s, d, "documents").select(col("doc_id"), col("lang"), col("source"),
-        SimOps.wordShingles(col("text"), 2).as("sh"))
-      SimOps.jaccardPairs(sh, "doc_id", "sh", Seq("lang", "source"))
+    "q_ngram_jaccard" -> ((s, d) =>
+      // pairwise n-gram Jaccard blocked on LSH band buckets (NOT metadata blocks
+      // like (lang, source): those grow linearly with the corpus, making the
+      // within-block join quadratic — LSH bucket sizes stay bounded at scale)
+      SimOps.neardupPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleN = 2, k = 32, bands = 8, rowsPerBand = 4, maxBucket = 200)
         .select(col("left_id"), col("right_id"), round(col("jaccard"), 4).as("jac"))
-        .filter(col("jac") >= 0.05)
+        .filter(col("jac") >= 0.05)),
+    "q_neardup_resolve" -> ((s, d) => {
+      // the end-to-end near-dup dedup operator: LSH candidates → exact-jaccard
+      // verify → keep-min-id survivors (a doc is dropped iff a verified-similar
+      // doc with a smaller id exists)
+      val pairs = SimOps.neardupPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 2, k = 32, bands = 8, rowsPerBand = 4, maxBucket = 200)
+      val dropped = pairs.filter(col("jaccard") >= 0.5)
+        .select(col("right_id").as("doc_id")).distinct()
+      t(s, d, "documents").join(dropped, Seq("doc_id"), "left_anti").select("doc_id")
     }),
     "q_rolling_fp" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextOps.rollingFingerprint(col("text")).as("rfp"))),
-    "q_ann_lsh" -> ((s, d) => {
-      // bucketed ANN: random-hyperplane signature buckets, then per-bucket stats
-      t(s, d, "embeddings")
-        .select(col("vec_id"), SimOps.hyperplaneSig(col("embedding"), 8).as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
-    })
+    "q_ann_lsh" -> ((s, d) =>
+      // real ANN search: hyperplane-LSH buckets + Hamming≤1 multi-probe +
+      // within-probe brute-force cosine top-3 per query vector
+      SimOps.annTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          planes = 8, k = 3)
+        .select(col("vec_id"), col("rank").cast("long").as("rank"),
+          col("nn_id"), col("cos")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -479,8 +484,145 @@ object SparkEntry {
                   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
                   AS avg_norm,
                 count(*) AS n
-         FROM embeddings GROUP BY label"""
+         FROM embeddings GROUP BY label""",
+    "q_minhash_lsh" ->
+      s"""WITH ${lshCtesSql(shingleN = 3)},
+          counts AS (SELECT band, bucket, count(*) AS n FROM bands GROUP BY band, bucket)
+          SELECT CAST(sum(CAST(n * (n - 1) / 2 AS BIGINT)) AS BIGINT) AS candidate_pairs
+          FROM counts""",
+    "q_simhash" -> simhashOracleSql,
+    "q_ngram_jaccard" ->
+      s"""WITH ${lshCtesSql(shingleN = 2)}, $neardupCtesSql
+          SELECT left_id, right_id, round(jaccard, 4) AS jac
+          FROM jac WHERE round(jaccard, 4) >= 0.05""",
+    "q_neardup_resolve" ->
+      s"""WITH ${lshCtesSql(shingleN = 2)}, $neardupCtesSql
+          SELECT doc_id FROM documents
+          WHERE NOT EXISTS (SELECT 1 FROM jac
+                            WHERE jaccard >= 0.5 AND jac.right_id = documents.doc_id)""",
+    "q_rolling_fp" ->
+      s"""SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                                    t -> ${PortableHash.md5LongSql("t")} % ${TextOps.rollingFpModulus})),
+                   (acc, h) -> (acc * 31 + h) % ${TextOps.rollingFpModulus}) AS rfp
+          FROM documents""",
+    "q_ann_lsh" -> annLshOracleSql
   )
+
+  // ── DuckDB oracle builders for the similarity family ─────────────────────────
+  // These re-derive the EXACT same md5-based hashes as the Spark operators
+  // (PortableHash keeps the two expression forms side by side), so the driver's
+  // hash-compare gate covers minhash/LSH/simhash/ANN — the operators most likely
+  // to be subtly wrong. Reference analog: golden truth files per staged table
+  // (reference src/test/java/.../ProtempaFactory.java:153-158).
+
+  /** CTEs: documents → distinct word-n-gram shingle arrays (`sharr`), exploded
+    * hashes, 32-element minhash `sig`, and (band, bucket) rows mirroring
+    * SimOps.{wordShingles, minhashSignatures, bandBuckets} with k=32, 8 bands
+    * of 4 rows. */
+  private def lshCtesSql(shingleN: Int, k: Int = 32, bands: Int = 8,
+                         rowsPerBand: Int = 4): String = {
+    val sigCols = (0 until k).map(i =>
+      s"min((h0 * ${SimOps.hashA(i)} + ${SimOps.hashB(i)}) % ${SimOps.M31}) AS m$i")
+      .mkString(", ")
+    val bandIdx = (0 until bands).mkString(", ")
+    val bandExprs = (0 until bands).map { b =>
+      val ms = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}").mkString(", ',', ")
+      PortableHash.md5LongSql(s"concat('$b', ',', $ms)")
+    }.mkString(", ")
+    s"""tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+               FROM documents),
+        sharr AS (SELECT doc_id, list_distinct(list_transform(
+                    range(0, greatest(len(tk) - $shingleN, 0) + 1),
+                    i -> array_to_string(list_slice(tk, i + 1, i + $shingleN), ' '))) AS sh
+                  FROM tk),
+        h AS (SELECT doc_id, ${PortableHash.md5LongSql("s")} % ${SimOps.M31} AS h0
+              FROM (SELECT doc_id, unnest(sh) AS s FROM sharr)),
+        sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+        bands AS (SELECT doc_id, unnest([$bandIdx]) AS band,
+                         unnest([$bandExprs]) AS bucket
+                  FROM sig)"""
+  }
+
+  /** CTEs on top of [[lshCtesSql]]: bucket-size cap (200), distinct candidate
+    * pairs, exact-jaccard verification — mirroring SimOps.{candidatePairs,
+    * verifiedPairs}. */
+  private def neardupCtesSql: String =
+    """counts AS (SELECT band, bucket, count(*) AS n FROM bands GROUP BY band, bucket),
+       bb AS (SELECT b.doc_id, b.band, b.bucket FROM bands b
+              JOIN counts c ON b.band = c.band AND b.bucket = c.bucket
+              WHERE c.n <= 200),
+       pairs AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+                 FROM bb a JOIN bb b
+                   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       jac AS (SELECT left_id, right_id,
+                      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                        / greatest(len(sa.sh) + len(sb.sh)
+                                   - len(list_intersect(sa.sh, sb.sh)), 1) AS jaccard
+               FROM pairs
+               JOIN sharr sa ON sa.doc_id = left_id
+               JOIN sharr sb ON sb.doc_id = right_id)"""
+
+  /** SimOps.simhashSignatures mirrored: 64 signed bit-sums over exploded tokens,
+    * bits from the two portable 32-bit md5 words. Bit values are emitted as
+    * BIGINT literals because DuckDB's `<<` raises on overflow (bit 63). */
+  private def simhashOracleSql: String = {
+    val bitSums = (0 until 64).map { b =>
+      val bit = if (b < 32) s"((lo >> $b) & 1)" else s"((hi >> ${b - 32}) & 1)"
+      s"sum(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(", ")
+    val value = (0 until 64).map { b =>
+      val v = 1L << b
+      val litv = if (v < 0) "(-9223372036854775807 - 1)" else v.toString
+      s"(CASE WHEN b$b > 0 THEN $litv ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+                     FROM documents),
+        h AS (SELECT doc_id, ${PortableHash.md5Hi32Sql("t")} AS hi,
+                     ${PortableHash.md5Lo32Sql("t")} AS lo FROM tok),
+        bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM bits"""
+  }
+
+  /** SimOps.{hyperplaneSignatures, annTopK} mirrored: integer-math plane dots
+    * (order-independent sign), Hamming≤1 multi-probe, sequential-fold cosine
+    * (list_reduce's left-to-right order = Spark aggregate()'s). */
+  private def annLshOracleSql: String = {
+    val planes = 8
+    val coefCols = (0 until planes).map(p =>
+      s"${PortableHash.md5LongSql(s"concat('$p', ',', d)")} % 2000 - 1000 AS c$p")
+      .mkString(", ")
+    val dotCols = (0 until planes).map(p => s"sum(xi * c$p) AS dot$p").mkString(", ")
+    val bucketExpr = (0 until planes).map(p =>
+      s"(CASE WHEN dot$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+    val masks = (0L +: (0 until planes).map(p => 1L << p)).mkString(", ")
+    def fold(items: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $items), (s, v) -> s + v)"
+    val dot = fold("list_transform(range(len(p.q_emb)), " +
+      "i -> CAST(p.q_emb[i+1] AS DOUBLE) * CAST(i.embedding[i+1] AS DOUBLE))")
+    val nq = s"sqrt(${fold("list_transform(p.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
+    val nv = s"sqrt(${fold("list_transform(i.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
+    s"""WITH ex AS (SELECT vec_id, unnest(range(len(embedding))) AS d,
+                           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS xi
+                    FROM embeddings),
+        coefs AS (SELECT d, $coefCols FROM (SELECT DISTINCT d FROM ex)),
+        dots AS (SELECT vec_id, $dotCols FROM ex JOIN coefs USING (d) GROUP BY vec_id),
+        sig AS (SELECT vec_id, $bucketExpr AS bucket FROM dots),
+        idx AS (SELECT e.vec_id, e.embedding, s.bucket
+                FROM embeddings e JOIN sig s USING (vec_id)),
+        probes AS (SELECT vec_id AS q_id, embedding AS q_emb, xor(bucket, m) AS pb
+                   FROM idx, (SELECT unnest([$masks]) AS m) masks),
+        cand AS (SELECT p.q_id, i.vec_id AS nn_id,
+                        round(($dot) / (($nq) * ($nv)), 6) AS cos
+                 FROM probes p JOIN idx i ON p.pb = i.bucket AND i.vec_id <> p.q_id),
+        ranked AS (SELECT q_id AS vec_id, nn_id, cos,
+                          row_number() OVER (PARTITION BY q_id
+                                             ORDER BY cos DESC, nn_id) AS rank
+                   FROM cand)
+        SELECT vec_id, rank, nn_id, cos FROM ranked WHERE rank <= 3"""
+  }
 
   /** DuckDB marker-count expression matching TextOps.langId for one language. */
   private def langScoreSql(lang: String): String = {

@@ -72,13 +72,14 @@ object TextOps {
   /** Exact content fingerprint (md5 — portable across engines). */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
 
-  /** 64-bit rolling polynomial fingerprint over whitespace tokens
-    * (order-sensitive, unlike a set hash). */
+  /** Rolling polynomial fingerprint over whitespace tokens (order-sensitive,
+    * unlike a set hash). Token hashes derive from md5 ([[SimOps]] portability
+    * rationale) so the DuckDB oracle reproduces the value bit-for-bit. */
+  val rollingFpModulus: Long = 1000000007L // M < 2^30 keeps acc*31+h inside Long
   def rollingFingerprint(text: Column): Column = {
     val tokens = filter(split(text, " "), t => length(t) > 0)
-    // modular polynomial hash (M < 2^30 keeps acc*31+h inside Long under ANSI mode)
-    val M = 1000000007L
+    val M = rollingFpModulus
     aggregate(tokens, lit(0L),
-      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), lit(M)), lit(M)))
+      (acc, t) => pmod(acc * 31L + pmod(PortableHash.md5Long(t), lit(M)), lit(M)))
   }
 }

@@ -86,9 +86,49 @@ class FunctionsSpec extends SparkSpec {
   test("hyperplane LSH buckets exact dups together") {
     val e = Seq((1L, Seq(1.0f, 0.5f, -0.2f)), (2L, Seq(1.0f, 0.5f, -0.2f)),
       (3L, Seq(-1.0f, -0.5f, 0.9f))).toDF("vec_id", "embedding")
-    val b = e.select(col("vec_id"), SimOps.hyperplaneSig(col("embedding"), 8).as("b"))
+    val b = SimOps.hyperplaneSignatures(e, "vec_id", "embedding", 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(b(1L) === b(2L))
+    assert(b(1L) !== b(3L)) // exactly opposite vector flips every plane sign
+  }
+
+  test("portable md5 hashes match the oracle engine's derivation (fixed vectors)") {
+    // expected values computed with DuckDB 1.0:
+    //   CAST(concat('0x', substr(md5(s), 1, 15|1,8|9,8)) AS BIGINT)
+    val expect = Map(
+      "hello world" -> (426544247714475757L, 1589001147L, 3760123600L),
+      "a" -> (57446577476672362L, 214005177L, 3237066408L),
+      "" -> (955282973525019424L, 3558706393L, 2399187460L),
+      "der und das 的" -> (30695633445487869L, 114350145L, 2059947995L))
+    val rows = expect.keys.toSeq.toDF("s")
+      .select(col("s"), graft.functions.PortableHash.md5Long(col("s")).as("h"),
+        graft.functions.PortableHash.md5Hi32(col("s")).as("hi"),
+        graft.functions.PortableHash.md5Lo32(col("s")).as("lo"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    expect.foreach { case (s, v) => assert(rows(s) === v, s"hash of '$s'") }
+  }
+
+  test("neardup pipeline: candidates → verify → keep-min-id drops the exact dup only") {
+    val pairs = SimOps.neardupPairs(docs, "doc_id", "text", shingleN = 2)
+    val byPair = pairs.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(byPair((1L, 4L)) === 1.0) // exact dup pair found and verified
+    val dropped = pairs.filter(col("jaccard") >= 0.5)
+      .select(col("right_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(dropped.contains(4L) && !dropped.contains(1L)) // min-id survives
+  }
+
+  test("annTopK: exact dup is every query's rank-1 neighbor with cosine 1") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.5f, -0.2f, 0.1f)), (2L, Seq(1.0f, 0.5f, -0.2f, 0.1f)),
+      (3L, Seq(-1.0f, -0.5f, 0.9f, 0.0f)), (4L, Seq(0.9f, 0.6f, -0.1f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val top = SimOps.annTopK(e, "vec_id", "embedding", planes = 8, k = 2)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(top(1L)._1 === 2L && math.abs(top(1L)._2 - 1.0) < 1e-9)
+    assert(top(2L)._1 === 1L)
   }
 
   test("cosine similarity: identical=1, orthogonal=0") {
