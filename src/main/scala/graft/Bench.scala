@@ -112,21 +112,34 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
     // Part 1: headline operator queries (one untimed warmup absorbs session +
-    // codegen-compile fixed costs so per-query numbers measure the plan)
+    // codegen-compile fixed costs so per-query numbers measure the plan).
+    // Dev knobs: SKIP_QUERIES skips part 1; ONLY_QUERIES skips part 2 (CDC);
+    // QUERY_FILTER=a,b,c restricts part 1 to named queries.
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
+    val onlyQueries = sys.env.contains("SPARK_GRAFT_BENCH_ONLY_QUERIES")
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERY_FILTER")
+      .map(_.split(",").toSet)
     val results = if (skipQueries) Seq.empty else {
       val spark = session(cpus)
       try SparkEntry.queries("q1_agg")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+      val r = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => filter.forall(_.contains(n)) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          catch { case _: Throwable => () }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
       spark.stop()
       r
+    }
+    if (onlyQueries) {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries_only","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      return
     }
 
     // Part 2: CDC replay at two parallelism levels over the SAME pre-written input

@@ -252,9 +252,8 @@ object SparkEntry {
       // near-dup candidate COUNT: shingle → minhash → band buckets → per-bucket
       // count(*) and n·(n−1)/2 arithmetic. No collect_set of ids — a hot bucket
       // would otherwise accumulate millions of ids into one reducer's array.
-      val sh = t(s, d, "documents")
-        .select(col("doc_id"), SimOps.wordShingles(col("text"), 3).as("sh"))
-      val sigs = SimOps.minhashSignatures(sh, "doc_id", "sh", 32)
+      val rows = SimOps.shingleRows(t(s, d, "documents"), "doc_id", "text", 3)
+      val sigs = SimOps.minhashSignaturesFromRows(rows, "doc_id", 32)
       SimOps.bandBuckets(sigs, "doc_id", bands = 8, rowsPerBand = 4)
         .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
         .select((col("n") * (col("n") - 1) / 2).cast("long").as("pairs_in_bucket"))
@@ -537,7 +536,8 @@ object SparkEntry {
         sharr AS (SELECT doc_id, list_distinct(list_transform(
                     range(0, greatest(len(tk) - $shingleN, 0) + 1),
                     i -> array_to_string(list_slice(tk, i + 1, i + $shingleN), ' '))) AS sh
-                  FROM tk),
+                  FROM tk
+                  WHERE len(tk) > 0),
         h AS (SELECT doc_id, ${PortableHash.md5LongSql("s")} % ${SimOps.M31} AS h0
               FROM (SELECT doc_id, unnest(sh) AS s FROM sharr)),
         sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),

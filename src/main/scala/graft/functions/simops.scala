@@ -59,12 +59,38 @@ object SimOps {
   def hashA(i: Int): Long = (mixConst(2L * i) & 0x7FFFFFFFL) | 1L
   def hashB(i: Int): Long = mixConst(2L * i + 1) & 0x7FFFFFFFL
 
-  /** Distinct word n-gram shingles over whitespace tokens. */
+  /** Distinct word n-gram shingles over whitespace tokens, array form.
+    * Convenient for per-row set math (jaccard specs); for bulk pipelines use
+    * [[shingleRows]] — this lambda form re-evaluates split+filter once per
+    * shingle (Catalyst inlines the token projection into every lambda, an
+    * O(tokens²)-per-document interpreted chain measured 15× slower). */
   def wordShingles(text: Column, n: Int = 3): Column = {
     val toks = filter(split(text, " "), t => length(t) > 0)
     array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Word n-gram shingles as ROWS (id, _sh), relational form: one token
+    * posexplode + window `lead` builds each shingle exactly once — no
+    * per-shingle re-tokenization. Tail shingles are clamped like the array form
+    * (a document with fewer than n tokens yields one shingle of all its
+    * tokens); documents with ZERO tokens yield no rows. Rows are NOT
+    * deduplicated — minhash mins are duplicate-insensitive; use dropDuplicates
+    * where true sets are needed. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = filter(split(col(textCol), " "), t => length(t) > 0)
+    // token count is captured at explode time (2 cheap evaluations of the split
+    // per document) — NOT via a second count window over the exploded rows
+    val toks = docs.select(col(idCol), size(tk).as("_cnt"), posexplode(tk))
+      .withColumnsRenamed(Map("pos" -> "_pos", "col" -> "_tok"))
+    val wOrd = Window.partitionBy(idCol).orderBy("_pos")
+    toks
+      .withColumn("_sh",
+        concat_ws(" ", (0 until n).map(i => lead(col("_tok"), i).over(wOrd)): _*))
+      .filter(col("_pos") <= greatest(col("_cnt") - n, lit(0)))
+      .select(col(idCol), col("_sh"))
   }
 
   /** Jaccard similarity of two distinct-element arrays
@@ -93,13 +119,18 @@ object SimOps {
     * portable md5 hash per shingle; k min-aggregates are fully codegen'd with
     * map-side partial aggregation — shuffle volume is one row per (doc, task). */
   def minhashSignatures(docs: DataFrame, idCol: String, shinglesCol: String,
-                        k: Int = 32): DataFrame = {
-    val exploded = docs
-      .select(col(idCol), explode(col(shinglesCol)).as("_sh"))
-      .withColumn("_h0", pmod(md5Long(col("_sh")), lit(M31)))
+                        k: Int = 32): DataFrame =
+    minhashSignaturesFromRows(
+      docs.select(col(idCol), explode(col(shinglesCol)).as("_sh")), idCol, k)
+
+  /** MinHash signatures from (id, _sh) shingle ROWS (see [[shingleRows]]);
+    * duplicate shingles are harmless (min is idempotent). */
+  def minhashSignaturesFromRows(rows: DataFrame, idCol: String,
+                                k: Int = 32): DataFrame = {
+    val hashed = rows.withColumn("_h0", pmod(md5Long(col("_sh")), lit(M31)))
     val aggs = (0 until k).map(i =>
       min(pmod(col("_h0") * hashA(i) + hashB(i), lit(M31))).as(s"_m$i"))
-    exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
   }
 
@@ -128,8 +159,14 @@ object SimOps {
     * part of the operator's CONTRACT (the oracle applies the same cap). */
   def candidatePairs(bandsDf: DataFrame, idCol: String,
                      maxBucket: Int = 200): DataFrame = {
-    val sizes = bandsDf.groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
-    val bounded = bandsDf.join(sizes.filter(col("_n") <= maxBucket).drop("_n"),
+    // Materialize the (id, band, bucket) rows once: they feed THREE plan
+    // branches (bucket sizing + both sides of the pair self-join), and without
+    // a checkpoint Spark re-evaluates the whole shingle→minhash→band pipeline
+    // per branch. The materialized set is 1 row per (doc, band) — executor-local
+    // storage, the Iceberg-staging-table analog, tiny next to the corpus.
+    val bands = bandsDf.localCheckpoint()
+    val sizes = bands.groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
+    val bounded = bands.join(sizes.filter(col("_n") <= maxBucket).drop("_n"),
       Seq("band", "bucket"))
     bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -138,28 +175,45 @@ object SimOps {
       .distinct()
   }
 
-  /** Verify candidate pairs with exact Jaccard over the documents' distinct
-    * shingle arrays (hash-independent — the verification joins by id, computes
-    * set overlap on the strings themselves). */
-  def verifiedPairs(shingled: DataFrame, pairs: DataFrame, idCol: String,
-                    shinglesCol: String): DataFrame =
-    pairs
-      .join(shingled.select(col(idCol).as("left_id"), col(shinglesCol).as("_sha")), "left_id")
-      .join(shingled.select(col(idCol).as("right_id"), col(shinglesCol).as("_shb")), "right_id")
+  /** Verify candidate pairs with exact Jaccard, relationally: per-doc DISTINCT
+    * shingle rows self-joined through the pair list count intersections
+    * (codegen'd hash join keyed by the shingle's 64-bit hash — a shuffle-size
+    * optimization only; jaccard VALUES are hash-independent), then
+    * |A∪B| = |A|+|B|−|A∩B|. Pairs sharing zero shingles produce no row —
+    * equivalent under any `jaccard >= θ` downstream filter. */
+  def verifiedPairsFromRows(rows: DataFrame, pairs: DataFrame,
+                            idCol: String): DataFrame = {
+    val dist = rows.dropDuplicates(idCol, "_sh")
+      .select(col(idCol), xxhash64(col("_sh")).as("_s"))
+    val sizes = dist.groupBy(idCol).agg(count(lit(1)).as("_sz"))
+    val l = dist.select(col(idCol).as("left_id"), col("_s"))
+    val r = dist.select(col(idCol).as("_rid"), col("_s").as("_s2"))
+    val common = pairs.join(l, "left_id")
+      .join(r, col("right_id") === col("_rid") && col("_s") === col("_s2"))
+      .groupBy("left_id", "right_id").agg(count(lit(1)).as("_common"))
+    common
+      .join(sizes.select(col(idCol).as("left_id"), col("_sz").as("_sza")), "left_id")
+      .join(sizes.select(col(idCol).as("right_id"), col("_sz").as("_szb")), "right_id")
       .select(col("left_id"), col("right_id"),
-        jaccard(col("_sha"), col("_shb")).as("jaccard"))
+        (col("_common").cast("double") /
+          greatest(col("_sza") + col("_szb") - col("_common"), lit(1)).cast("double"))
+          .as("jaccard"))
+  }
 
   /** The end-to-end near-dup dedup pipeline: shingle → minhash → LSH bands →
     * candidate pairs → exact-jaccard verify. Returns (left_id, right_id,
-    * jaccard) for every candidate pair. Compose with a `jaccard >= θ` filter +
-    * keep-min-id anti-join for the survivor set. */
+    * jaccard) for every candidate pair with ≥1 shared shingle. Compose with a
+    * `jaccard >= θ` filter + keep-min-id anti-join for the survivor set. */
   def neardupPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                    rowsPerBand: Int = 4, maxBucket: Int = 200): DataFrame = {
-    val shingled = docs.select(col(idCol), wordShingles(col(textCol), shingleN).as("_sh"))
-    val sigs = minhashSignatures(shingled, idCol, "_sh", k)
+    // shingle rows feed both the signature branch and the verify branch —
+    // materialize once (at extreme scale, trading executor-local storage for
+    // not re-tokenizing the corpus)
+    val rows = shingleRows(docs, idCol, textCol, shingleN).localCheckpoint()
+    val sigs = minhashSignaturesFromRows(rows, idCol, k)
     val pairs = candidatePairs(bandBuckets(sigs, idCol, bands, rowsPerBand), idCol, maxBucket)
-    verifiedPairs(shingled, pairs, idCol, "_sh")
+    verifiedPairsFromRows(rows, pairs, idCol)
   }
 
   // ── SimHash ────────────────────────────────────────────────────────────────
@@ -244,23 +298,51 @@ object SimOps {
           .reduce(_ + _).as("bucket"))
   }
 
-  /** Multi-probe ANN top-k over hyperplane-LSH buckets: each query probes its
-    * own bucket plus every bucket within Hamming distance 1 (signature with one
-    * plane-bit flipped), brute-forces cosine against the probed candidates, and
-    * keeps the top `k`. Probing ≤1-bit flips lifts recall from ~40% to >95% on
-    * clustered embeddings while still scanning only ~(planes+1)/2^planes of the
-    * index. Returns (idCol, rank, nn_id, cos). */
+  /** All probe masks within Hamming distance `radius` of a signature
+    * (0 = own bucket only; 1 adds single-bit flips; 2 adds bit pairs …). */
+  def probeMasks(planes: Int, radius: Int): Seq[Long] = {
+    def combos(bits: Seq[Int], r: Int): Seq[Long] =
+      if (r == 0) Seq(0L)
+      else bits.combinations(r).map(_.map(1L << _).sum).toSeq
+    (0 to radius).flatMap(r => combos(0 until planes, r))
+  }
+
+  /** Multi-probe ANN top-k over hyperplane-LSH buckets: each query probes every
+    * bucket within Hamming distance `radius` of its own signature, brute-forces
+    * cosine against the probed candidates, and keeps the top `k`. Returns
+    * (idCol, rank, nn_id, cos).
+    *
+    * `radius` is the recall↔cost knob: radius r scans ~Σ_{i≤r} C(planes,i)/2^planes
+    * of the index. On CLUSTERED embeddings radius 1 reaches high recall; on
+    * weakly-structured (near-isotropic) vectors — where the true NN's angle is
+    * large — no sublinear probe scheme can reach high recall (the NN's
+    * signature is near-random relative to the query's), and recall scales with
+    * the scanned fraction times the LSH advantage. See AnnSpec for the measured
+    * curve on the test corpus. */
   def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
-              planes: Int = 8, k: Int = 3): DataFrame = {
+              planes: Int = 8, k: Int = 3, radius: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val index = vecs.join(hyperplaneSignatures(vecs, idCol, vecCol, planes), idCol)
-    val masks = 0L +: (0 until planes).map(p => 1L << p)
+    // norms are computed ONCE per vector here, not per candidate pair — only
+    // the dot product (one sequential fold, deterministic order) runs per pair
+    val nrm = sqrt(aggregate(
+      transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (s, v) => s + v))
+    // the index feeds both the probe side and the candidate side — materialize
+    // once instead of re-deriving signatures per branch
+    val index = vecs.select(col(idCol), col(vecCol), nrm.as("_nrm"))
+      .join(hyperplaneSignatures(vecs, idCol, vecCol, planes), idCol)
+      .localCheckpoint()
+    val masks = probeMasks(planes, radius)
     val probes = index.select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
+      col("_nrm").as("_qn"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("_pb"))
+    val dot = aggregate(
+      zip_with(col("_qv"), col(vecCol), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
     val cands = probes.join(index, probes("_pb") === index("bucket"))
       .filter(col("_qid") =!= col(idCol))
       .select(col("_qid"), col(idCol).as("nn_id"),
-        round(cosine(col("_qv"), col(vecCol)), 6).as("cos"))
+        round(dot / (col("_qn") * col("_nrm")), 6).as("cos"))
     val w = Window.partitionBy("_qid").orderBy(col("cos").desc, col("nn_id"))
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
