@@ -10,13 +10,16 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample run per-partition in batch.
   *
   * The Spark side — schemas, partition-parallel batch processing, column
-  * contracts — is real and tested. The codec itself is a STUB: this container has
-  * no image/audio libraries, so `decodeStub` derives deterministic fake
-  * dimensions/features from the bytes (clearly marked; swap `decodeStub` for a
-  * real JNI/library call in production). In PySpark the same shape is
-  * `mapInPandas` over Arrow record batches; in Scala the analog used here is
-  * `mapPartitions` over an explicit Row encoder — one codec init per PARTITION,
-  * never per row, which is the part that matters at 100 TB.
+  * contracts — is real and tested. The codec layer is split:
+  *  - BMP images and RIFF/WAVE audio are decoded FOR REAL by [[parseBmp]] /
+  *    [[parseWav]] (pure-JVM header parsing, no external libraries);
+  *  - other formats fall back to [[decodeStub]], a deterministic fake (this
+  *    container ships no jpeg/ffmpeg libraries; swap the stub for a JNI/library
+  *    call in production — the per-partition init point is already in place).
+  * In PySpark the same shape is `mapInPandas` over Arrow record batches; the
+  * Scala analog used here is `mapPartitions` over an explicit Row encoder — one
+  * codec init per PARTITION, never per row, which is the part that matters at
+  * 100 TB.
   */
 object Multimodal {
 
@@ -25,10 +28,37 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
     StructField("feature", ArrayType(FloatType))))
 
-  /** STUB decoder — deterministic pseudo-decode of a media payload.
-    * Replace with a real codec (libjpeg/ffmpeg/soundfile) in production. */
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  /** Real BMP header decode: 'BM' magic, int32-LE width at offset 18, height at
+    * 22 (negative height = top-down row order → absolute value). Returns
+    * (width, height) or None if the payload is not a BMP. */
+  def parseBmp(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
+      Some((le32(bytes, 18), math.abs(le32(bytes, 22))))
+    else None
+
+  /** Real RIFF/WAVE header decode: 'RIFF' + 'WAVE' magic with the canonical
+    * 'fmt ' chunk at offset 12 — channels (int16 LE) at 22, sample rate
+    * (int32 LE) at 24. Returns (sampleRate, channels) or None. */
+  def parseWav(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes.length >= 28 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E' &&
+        bytes(12) == 'f' && bytes(13) == 'm' && bytes(14) == 't')
+      Some((le32(bytes, 24), le16(bytes, 22)))
+    else None
+
+  /** STUB decoder — deterministic pseudo-decode for formats without a real
+    * parser above. Replace with a real codec (libjpeg/ffmpeg) in production. */
   private[functions] def decodeStub(bytes: Array[Byte], mediaType: String)
       : (Int, Int, Int, Array[Float]) = {
     def h(seed: Long): Long = {
@@ -45,7 +75,8 @@ object Multimodal {
 
   /** Decode + feature-extract a binary media column, partition-parallel.
     * Input needs (`idCol`: long, `bytesCol`: binary, `typeCol`: string); output is
-    * the id + a `media` struct of [[mediaMetaSchema]]. */
+    * the id + a `media` struct of [[mediaMetaSchema]]. Real header parsing for
+    * BMP/WAV payloads; deterministic stub otherwise. */
   def decodeAndFeaturize(df: DataFrame, idCol: String, bytesCol: String,
                          typeCol: String): DataFrame = {
     val outSchema = StructType(Seq(
@@ -59,7 +90,12 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           val mt = r.getString(2)
           val (w, h, f, feat) = decodeStub(bytes, mt)
-          Row(r.getLong(0), Row(mt, w, h, f, feat.toSeq))
+          val media = (parseBmp(bytes), parseWav(bytes)) match {
+            case (Some((bw, bh)), _) => Row(mt, bw, bh, 1, null, null, feat.toSeq)
+            case (_, Some((rate, ch))) => Row(mt, null, null, 1, rate, ch, feat.toSeq)
+            case _ => Row(mt, w, h, f, null, null, feat.toSeq)
+          }
+          Row(r.getLong(0), media)
         }
       }
   }

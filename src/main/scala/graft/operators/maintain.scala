@@ -80,15 +80,14 @@ object Maintain {
   /** Garbage-collect data files referenced by NO snapshot (crash orphans) or only by
     * snapshots older than the latest `keepSnapshots`. Returns deleted file count. */
   def vacuum(table: LakeTable, keepSnapshots: Int = 3): Int = {
-    import java.nio.file.{Files, Paths}
-    val history = LakeTable.history(table.dir)
+    val history = LakeTable.history(table.dir, table.io)
     val live = history.takeRight(keepSnapshots).flatMap(_.files.map(_.path)).toSet
-    val dataDir = Paths.get(table.dir, "data")
-    if (!Files.isDirectory(dataDir)) return 0
+    val dataDir = s"${table.dir}/data"
+    if (!table.io.isDirectory(dataDir)) return 0
     var n = 0
-    LakeTable.listDir(dataDir).foreach { p =>
-      val rel = s"data/${p.getFileName}"
-      if (!live.contains(rel)) { Files.deleteIfExists(p); n += 1 }
+    table.io.listDir(dataDir).foreach { p =>
+      val rel = s"data/${p.split('/').last}"
+      if (!live.contains(rel)) { table.io.delete(p); n += 1 }
     }
     n
   }

@@ -7,6 +7,96 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
+/** Driver-side filesystem operations the lake's commit protocol needs. Executors
+  * read/write data files through Spark's own Hadoop IO; only the MANIFEST
+  * protocol (list, atomic rename, small JSON reads/writes) and data-file moves
+  * run on the driver, and those are what this trait abstracts.
+  *
+  * Implementations: [[NioLakeIO]] (local filesystem, the sandbox default) and
+  * [[HadoopLakeIO]] (any Hadoop FileSystem — HDFS, ABFS, GCS; rename is atomic
+  * on HDFS). S3 note: S3 has no atomic rename — there, the commit point should
+  * move to a conditional PUT (If-None-Match) of the manifest object or a small
+  * catalog/DynamoDB lock, exactly the Iceberg catalog pattern; the single
+  * `writeStringAtomic` call below is the only place that needs swapping. */
+trait LakeIO {
+  def mkdirs(dir: String): Unit
+  def isDirectory(path: String): Boolean
+  def exists(path: String): Boolean
+  /** Absolute paths of the directory's direct children (not recursive). */
+  def listDir(dir: String): Seq[String]
+  def readString(path: String): String
+  /** Write via a temp sibling + atomic rename; MUST fail if `path` exists
+    * (the optimistic-concurrency commit point). */
+  def writeStringAtomic(path: String, content: String): Unit
+  def move(src: String, dst: String): Unit
+  def delete(path: String): Unit
+  def deleteRecursively(path: String): Unit
+}
+
+/** java.nio implementation — local disks (the sandbox default). */
+object NioLakeIO extends LakeIO {
+  private def listPaths(p: Path): List[Path] =
+    scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toList)
+  def mkdirs(dir: String): Unit = Files.createDirectories(Paths.get(dir))
+  def isDirectory(path: String): Boolean = Files.isDirectory(Paths.get(path))
+  def exists(path: String): Boolean = Files.exists(Paths.get(path))
+  def listDir(dir: String): Seq[String] = listPaths(Paths.get(dir)).map(_.toString)
+  def readString(path: String): String = Files.readString(Paths.get(path))
+  def writeStringAtomic(path: String, content: String): Unit = {
+    val target = Paths.get(path)
+    if (Files.exists(target))
+      throw new IllegalStateException(s"concurrent commit: $target already exists")
+    val tmp = target.resolveSibling("." + target.getFileName + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+  def move(src: String, dst: String): Unit =
+    Files.move(Paths.get(src), Paths.get(dst), StandardCopyOption.ATOMIC_MOVE)
+  def delete(path: String): Unit = Files.deleteIfExists(Paths.get(path))
+  def deleteRecursively(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p)) listPaths(p).foreach(c => deleteRecursively(c.toString))
+    Files.deleteIfExists(p)
+  }
+}
+
+/** Hadoop-FileSystem implementation — the object-store/HDFS migration path.
+  * Uses the same FS drivers Spark itself writes the parquet through. */
+class HadoopLakeIO(conf: org.apache.hadoop.conf.Configuration) extends LakeIO {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+  private def fs(p: String): FileSystem = new HPath(p).getFileSystem(conf)
+  def mkdirs(dir: String): Unit = fs(dir).mkdirs(new HPath(dir))
+  def isDirectory(path: String): Boolean = {
+    val f = fs(path)
+    f.exists(new HPath(path)) && f.getFileStatus(new HPath(path)).isDirectory
+  }
+  def exists(path: String): Boolean = fs(path).exists(new HPath(path))
+  def listDir(dir: String): Seq[String] =
+    fs(dir).listStatus(new HPath(dir)).toSeq.map(_.getPath.toUri.getPath)
+  def readString(path: String): String = {
+    val in = fs(path).open(new HPath(path))
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+  def writeStringAtomic(path: String, content: String): Unit = {
+    val f = fs(path)
+    val target = new HPath(path)
+    if (f.exists(target))
+      throw new IllegalStateException(s"concurrent commit: $target already exists")
+    val tmp = new HPath(target.getParent, "." + target.getName + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!f.rename(tmp, target))
+      throw new IllegalStateException(s"commit rename failed: $tmp -> $target")
+  }
+  def move(src: String, dst: String): Unit =
+    if (!fs(src).rename(new HPath(src), new HPath(dst)))
+      throw new IllegalStateException(s"rename failed: $src -> $dst")
+  def delete(path: String): Unit = { fs(path).delete(new HPath(path), false); () }
+  def deleteRecursively(path: String): Unit = { fs(path).delete(new HPath(path), true); () }
+}
+
 /** One committed data file. `path` is relative to the table root; `bucket` is the
   * hash bucket of every `conv_id` in the file (file-level pruning key); `schemaId`
   * indexes into the snapshot's schema registry (files written before a schema
@@ -56,15 +146,20 @@ final case class Snapshot(
   * Scale notes: `bucket = pmod(xxhash64(conv_id), numBuckets)` gives file-level
   * pruning for the MERGE (only buckets present in a batch are read/rewritten);
   * at 100 TB raise `numBuckets` (e.g. 4096) so a bucket rewrite fits an executor.
+  * Driver-side IO is abstracted behind [[LakeIO]]; see README "Commit path &
+  * object stores" for the manifest-segmentation migration plan (the manifest
+  * lists all files — O(files) — which is fine to ~10^5 files, after which
+  * Iceberg-style manifest lists per bucket range are the path).
   */
-final class LakeTable(val spark: SparkSession, val dir: String) {
+final class LakeTable(val spark: SparkSession, val dir: String,
+                      val io: LakeIO = NioLakeIO) {
   import LakeTable._
 
-  private var snap: Snapshot = loadLatest(dir).getOrElse(
+  private var snap: Snapshot = loadLatest(dir, io).getOrElse(
     throw new IllegalStateException(s"no manifest under $dir"))
 
   def snapshot: Snapshot = snap
-  def refresh(): Snapshot = { snap = loadLatest(dir).get; snap }
+  def refresh(): Snapshot = { snap = loadLatest(dir, io).get; snap }
   def schema: StructType = snap.schema
   def numBuckets: Int = snap.numBuckets
   def appliedEpoch(queryId: String): Long = snap.applied.getOrElse(queryId, -1L)
@@ -96,23 +191,21 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
   def writeDataFiles(df: DataFrame, version: Long, schemaId: Int): List[FileEntry] = {
     val tmp = s"$dir/_tmp_e$version"
     df.write.mode("overwrite").partitionBy("_gbucket").parquet(tmp)
-    val dataDir = Paths.get(dir, "data")
-    Files.createDirectories(dataDir)
+    io.mkdirs(s"$dir/data")
     val entries = scala.collection.mutable.ListBuffer[FileEntry]()
-    val tmpPath = Paths.get(tmp)
-    LakeTable.listDir(tmpPath)
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("_gbucket="))
+    io.listDir(tmp)
+      .filter(p => io.isDirectory(p) && baseName(p).startsWith("_gbucket="))
       .foreach { bdir =>
-        val bucket = bdir.getFileName.toString.stripPrefix("_gbucket=").toInt
-        LakeTable.listDir(bdir)
-          .filter(_.getFileName.toString.endsWith(".parquet")).zipWithIndex
+        val bucket = baseName(bdir).stripPrefix("_gbucket=").toInt
+        io.listDir(bdir)
+          .filter(f => baseName(f).endsWith(".parquet")).zipWithIndex
           .foreach { case (f, i) =>
             val name = f"data/e${version}_b${bucket}_$i%05d.parquet"
-            Files.move(f, Paths.get(dir, name), StandardCopyOption.ATOMIC_MOVE)
+            io.move(f, s"$dir/$name")
             entries += FileEntry(name, bucket, schemaId, -1L)
           }
       }
-    deleteRecursively(tmpPath)
+    io.deleteRecursively(tmp)
     entries.toList
   }
 
@@ -126,7 +219,7 @@ final class LakeTable(val spark: SparkSession, val dir: String) {
       files = files,
       applied = applied,
       summary = summary)
-    writeManifest(dir, next)
+    writeManifest(dir, next, io)
     snap = next
     next
   }
@@ -137,64 +230,52 @@ object LakeTable {
   import org.json4s.jackson.Serialization
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
-  /** Directory listing that CLOSES the stream (a bare `Files.list` leaks one fd
-    * per call until GC — a long-running streaming driver lists directories every
-    * microbatch and would exhaust the fd table). */
-  private[graft] def listDir(p: Path): List[Path] =
-    scala.util.Using.resource(Files.list(p))(_.iterator().asScala.toList)
+  private def baseName(p: String): String = p.split('/').last
 
   def bucketCol(c: Column, numBuckets: Int): Column = pmod(xxhash64(c), lit(numBuckets)).cast("int")
 
-  private def manifestDir(dir: String): Path = Paths.get(dir, "_manifests")
+  private def manifestDir(dir: String): String = s"$dir/_manifests"
 
-  def exists(dir: String): Boolean =
-    Files.isDirectory(manifestDir(dir)) && loadLatest(dir).isDefined
+  def exists(dir: String, io: LakeIO = NioLakeIO): Boolean =
+    io.isDirectory(manifestDir(dir)) && loadLatest(dir, io).isDefined
 
   def create(spark: SparkSession, dir: String, schema: StructType,
-             numBuckets: Int = 64): LakeTable = {
-    Files.createDirectories(manifestDir(dir))
+             numBuckets: Int = 64, io: LakeIO = NioLakeIO): LakeTable = {
+    io.mkdirs(manifestDir(dir))
     val snap = Snapshot(1L, numBuckets, 0, Map("0" -> schema.json), Nil, Map.empty,
       Map("graft.operation" -> "create"))
-    writeManifest(dir, snap)
-    new LakeTable(spark, dir)
+    writeManifest(dir, snap, io)
+    new LakeTable(spark, dir, io)
   }
 
-  def load(spark: SparkSession, dir: String): LakeTable = new LakeTable(spark, dir)
+  def load(spark: SparkSession, dir: String, io: LakeIO = NioLakeIO): LakeTable =
+    new LakeTable(spark, dir, io)
 
   def loadOrCreate(spark: SparkSession, dir: String, schema: StructType,
-                   numBuckets: Int = 64): LakeTable =
-    if (exists(dir)) load(spark, dir) else create(spark, dir, schema, numBuckets)
+                   numBuckets: Int = 64, io: LakeIO = NioLakeIO): LakeTable =
+    if (exists(dir, io)) load(spark, dir, io) else create(spark, dir, schema, numBuckets, io)
 
-  private[sources] def writeManifest(dir: String, snap: Snapshot): Unit = {
-    val target = manifestDir(dir).resolve(f"v${snap.version}%08d.json")
-    if (Files.exists(target))
-      throw new IllegalStateException(s"concurrent commit: $target already exists")
-    val tmp = manifestDir(dir).resolve(f".v${snap.version}%08d.json.tmp")
-    Files.writeString(tmp, Serialization.write(snap))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-  }
+  private[sources] def writeManifest(dir: String, snap: Snapshot, io: LakeIO): Unit =
+    io.writeStringAtomic(f"${manifestDir(dir)}/v${snap.version}%08d.json",
+      Serialization.write(snap))
 
-  private[sources] def loadLatest(dir: String): Option[Snapshot] = {
+  private[sources] def loadLatest(dir: String, io: LakeIO = NioLakeIO): Option[Snapshot] = {
     val md = manifestDir(dir)
-    if (!Files.isDirectory(md)) return None
-    val versions = listDir(md)
-      .map(_.getFileName.toString)
+    if (!io.isDirectory(md)) return None
+    io.listDir(md).map(baseName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .sorted
-    versions.lastOption.map { n =>
-      Serialization.read[Snapshot](Files.readString(md.resolve(n)))
-    }
+      .sorted.lastOption
+      .map(n => Serialization.read[Snapshot](io.readString(s"$md/$n")))
   }
 
   /** All snapshots, oldest first (time travel / audit). */
-  def history(dir: String): Seq[Snapshot] = {
+  def history(dir: String, io: LakeIO = NioLakeIO): Seq[Snapshot] = {
     val md = manifestDir(dir)
-    if (!Files.isDirectory(md)) return Nil
-    listDir(md)
-      .map(_.getFileName.toString)
+    if (!io.isDirectory(md)) return Nil
+    io.listDir(md).map(baseName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .sorted
-      .map(n => Serialization.read[Snapshot](Files.readString(md.resolve(n))))
+      .map(n => Serialization.read[Snapshot](io.readString(s"$md/$n")))
   }
 
   /** Cast/realign `df` to `to`: missing columns become typed nulls, common columns
@@ -205,10 +286,5 @@ object LakeTable {
       if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
   }
 }

@@ -169,6 +169,39 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("multimodal: real BMP and WAV headers decode to true dimensions/rates") {
+    // hand-built canonical headers (pure bytes, no image/audio libs involved)
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](26)
+      b(0) = 'B'; b(1) = 'M'
+      for (i <- 0 until 4) { b(18 + i) = ((w >> (8 * i)) & 0xFF).toByte }
+      for (i <- 0 until 4) { b(22 + i) = ((h >> (8 * i)) & 0xFF).toByte }
+      b
+    }
+    def wav(rate: Int, channels: Int): Array[Byte] = {
+      val b = new Array[Byte](28)
+      "RIFF".getBytes.copyToArray(b, 0); "WAVE".getBytes.copyToArray(b, 8)
+      "fmt ".getBytes.copyToArray(b, 12)
+      b(22) = (channels & 0xFF).toByte; b(23) = ((channels >> 8) & 0xFF).toByte
+      for (i <- 0 until 4) { b(24 + i) = ((rate >> (8 * i)) & 0xFF).toByte }
+      b
+    }
+    val media = Seq(
+      (1L, bmp(640, 480), "image"),
+      (2L, bmp(131072, -256), "image"), // width > 2^16, top-down (negative) height
+      (3L, wav(44100, 2), "audio"),
+      (4L, "not-a-known-format".getBytes, "image") // falls back to the stub
+    ).toDF("id", "payload", "media_type")
+    val out = Multimodal.decodeAndFeaturize(media, "id", "payload", "media_type")
+      .select(col("id"), col("media.width"), col("media.height"),
+        col("media.sample_rate"), col("media.channels"))
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) === 640 && out(0).getInt(2) === 480)
+    assert(out(1).getInt(1) === 131072 && out(1).getInt(2) === 256)
+    assert(out(2).isNullAt(1) && out(2).getInt(3) === 44100 && out(2).getInt(4) === 2)
+    assert(!out(3).isNullAt(1) && out(3).isNullAt(3)) // stub fills dims, not rate
+  }
+
   test("multimodal: decode/featurize plumbing is deterministic and partition-safe") {
     val media = Seq(
       (1L, "fake-jpeg-bytes-aaaa".getBytes, "image"),
