@@ -288,7 +288,14 @@ object SparkEntry {
       SimOps.annTopK(t(s, d, "embeddings"), "vec_id", "embedding",
           planes = 8, k = 3)
         .select(col("vec_id"), col("rank").cast("long").as("rank"),
-          col("nn_id"), col("cos")))
+          col("nn_id"), col("cos"))),
+    "q_embed_neardup" -> ((s, d) =>
+      // embedding-cosine near-dup: LSH-bucketed candidate pairs (Hamming≤1
+      // probe) with exact cosine ≥ threshold — the embedding analog of
+      // q_neardup_resolve's candidates→verify stage
+      SimOps.cosineNeardupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          planes = 8, radius = 1)
+        .filter(col("cos") >= 0.2))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -507,7 +514,8 @@ object SparkEntry {
                                     t -> ${PortableHash.md5LongSql("t")} % ${TextOps.rollingFpModulus})),
                    (acc, h) -> (acc * 31 + h) % ${TextOps.rollingFpModulus}) AS rfp
           FROM documents""",
-    "q_ann_lsh" -> annLshOracleSql
+    "q_ann_lsh" -> annLshOracleSql,
+    "q_embed_neardup" -> embedNeardupOracleSql
   )
 
   // ── DuckDB oracle builders for the similarity family ─────────────────────────
@@ -586,11 +594,23 @@ object SparkEntry {
         SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM bits"""
   }
 
-  /** SimOps.{hyperplaneSignatures, annTopK} mirrored: integer-math plane dots
-    * (order-independent sign), Hamming≤1 multi-probe, sequential-fold cosine
-    * (list_reduce's left-to-right order = Spark aggregate()'s). */
-  private def annLshOracleSql: String = {
-    val planes = 8
+  /** Shared ANN CTEs mirroring SimOps.hyperplaneSignatures + the Hamming≤1
+    * probe expansion: integer-math plane dots (order-independent sign),
+    * sequential-fold cosine (list_reduce's left-to-right order =
+    * Spark aggregate()'s). Exposes CTEs ex/coefs/dots/sig/idx/probes and the
+    * `cosExpr` for a probes-p × idx-i join. */
+  private val annPlanes = 8
+  private def annCosExprSql: String = {
+    def fold(items: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $items), (s, v) -> s + v)"
+    val dot = fold("list_transform(range(len(p.q_emb)), " +
+      "i -> CAST(p.q_emb[i+1] AS DOUBLE) * CAST(i.embedding[i+1] AS DOUBLE))")
+    val nq = s"sqrt(${fold("list_transform(p.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
+    val nv = s"sqrt(${fold("list_transform(i.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
+    s"round(($dot) / (($nq) * ($nv)), 6)"
+  }
+  private def annCtesSql: String = {
+    val planes = annPlanes
     val coefCols = (0 until planes).map(p =>
       s"${PortableHash.md5LongSql(s"concat('$p', ',', d)")} % 2000 - 1000 AS c$p")
       .mkString(", ")
@@ -598,31 +618,35 @@ object SparkEntry {
     val bucketExpr = (0 until planes).map(p =>
       s"(CASE WHEN dot$p > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
     val masks = (0L +: (0 until planes).map(p => 1L << p)).mkString(", ")
-    def fold(items: String) =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $items), (s, v) -> s + v)"
-    val dot = fold("list_transform(range(len(p.q_emb)), " +
-      "i -> CAST(p.q_emb[i+1] AS DOUBLE) * CAST(i.embedding[i+1] AS DOUBLE))")
-    val nq = s"sqrt(${fold("list_transform(p.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
-    val nv = s"sqrt(${fold("list_transform(i.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
-    s"""WITH ex AS (SELECT vec_id, unnest(range(len(embedding))) AS d,
-                           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS xi
-                    FROM embeddings),
+    s"""ex AS (SELECT vec_id, unnest(range(len(embedding))) AS d,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS xi
+               FROM embeddings),
         coefs AS (SELECT d, $coefCols FROM (SELECT DISTINCT d FROM ex)),
         dots AS (SELECT vec_id, $dotCols FROM ex JOIN coefs USING (d) GROUP BY vec_id),
         sig AS (SELECT vec_id, $bucketExpr AS bucket FROM dots),
         idx AS (SELECT e.vec_id, e.embedding, s.bucket
                 FROM embeddings e JOIN sig s USING (vec_id)),
         probes AS (SELECT vec_id AS q_id, embedding AS q_emb, xor(bucket, m) AS pb
-                   FROM idx, (SELECT unnest([$masks]) AS m) masks),
-        cand AS (SELECT p.q_id, i.vec_id AS nn_id,
-                        round(($dot) / (($nq) * ($nv)), 6) AS cos
+                   FROM idx, (SELECT unnest([$masks]) AS m) masks)"""
+  }
+
+  /** SimOps.annTopK mirrored over [[annCtesSql]]. */
+  private def annLshOracleSql: String =
+    s"""WITH $annCtesSql,
+        cand AS (SELECT p.q_id, i.vec_id AS nn_id, $annCosExprSql AS cos
                  FROM probes p JOIN idx i ON p.pb = i.bucket AND i.vec_id <> p.q_id),
         ranked AS (SELECT q_id AS vec_id, nn_id, cos,
                           row_number() OVER (PARTITION BY q_id
                                              ORDER BY cos DESC, nn_id) AS rank
                    FROM cand)
         SELECT vec_id, rank, nn_id, cos FROM ranked WHERE rank <= 3"""
-  }
+
+  /** SimOps.cosineNeardupPairs mirrored over [[annCtesSql]]. */
+  private def embedNeardupOracleSql: String =
+    s"""WITH $annCtesSql
+        SELECT p.q_id AS left_id, i.vec_id AS right_id, $annCosExprSql AS cos
+        FROM probes p JOIN idx i ON p.pb = i.bucket AND p.q_id < i.vec_id
+        WHERE $annCosExprSql >= 0.2"""
 
   /** DuckDB marker-count expression matching TextOps.langId for one language. */
   private def langScoreSql(lang: String): String = {

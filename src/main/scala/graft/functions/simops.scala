@@ -319,6 +319,35 @@ object SimOps {
     * signature is near-random relative to the query's), and recall scales with
     * the scanned fraction times the LSH advantage. See AnnSpec for the measured
     * curve on the test corpus. */
+  /** Embedding-cosine near-dup candidate pairs: vectors whose hyperplane-LSH
+    * buckets fall within Hamming distance `radius`, with exact cosine computed
+    * per candidate pair (left_id < right_id). The dedup composition is
+    * `filter(cos >= θ)` + keep-min-id anti-join — the embedding analog of
+    * [[neardupPairs]]. */
+  def cosineNeardupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                         planes: Int = 8, radius: Int = 1): DataFrame = {
+    val nrm = sqrt(aggregate(
+      transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (s, v) => s + v))
+    val index = vecs.select(col(idCol), col(vecCol), nrm.as("_nrm"))
+      .join(hyperplaneSignatures(vecs, idCol, vecCol, planes), idCol)
+      .localCheckpoint()
+    val masks = probeMasks(planes, radius)
+    val probes = index.select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
+      col("_nrm").as("_qn"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("_pb"))
+    val dot = aggregate(
+      zip_with(col("_qv"), col(vecCol), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
+    // left<right keeps one direction; the pair is also generated exactly once
+    // on that side, because only ONE mask maps bucket(left) onto bucket(right)
+    // (mask = xor of the two buckets) — so no distinct pass is needed
+    probes.join(index, probes("_pb") === index("bucket"))
+      .filter(col("_qid") < col(idCol))
+      .select(col("_qid").as("left_id"), col(idCol).as("right_id"),
+        round(dot / (col("_qn") * col("_nrm")), 6).as("cos"))
+  }
+
   def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
               planes: Int = 8, k: Int = 3, radius: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
