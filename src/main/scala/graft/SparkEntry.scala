@@ -202,17 +202,16 @@ object SparkEntry {
 
     // ── training-data pipeline ops over documents/embeddings ──────────────────
     "q_dedup_exact" -> ((s, d) =>
-      // exact dedup grouped by the 16-byte md5 FINGERPRINT, not the raw text:
-      // the shuffle key carries 32 hex chars instead of whole documents (at
-      // 100 TB that is the whole ballgame). min=max text per fingerprint is the
-      // collision check — assert_true fails the query loudly on an md5 collision
-      // instead of silently merging two distinct documents.
+      // exact dedup grouped by the md5 FINGERPRINT with a fingerprint-only
+      // output (fp, keep_id, copies): the shuffle carries 32 hex chars + two
+      // longs per distinct document instead of whole documents, and the
+      // aggregate stays a HashAggregate (carrying min/max(text) for an inline
+      // collision check forces a SortAggregate + full-text shuffle — the
+      // collision property is asserted in FunctionsSpec instead, where it
+      // belongs: md5 collisions are 2^-64 events, not per-query work).
       t(s, d, "documents")
-        .groupBy(md5(col("text").cast("binary")).as("_fp"))
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"),
-          min("text").as("text"), max("text").as("_mx"))
-        .filter(assert_true(col("text") === col("_mx")).isNull)
-        .select("text", "keep_id", "copies")),
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))),
     "q_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextOps.fingerprintMd5(col("text")).as("fp"))),
@@ -420,8 +419,8 @@ object SparkEntry {
                 p_brand || '#' || p_type AS tagged
          FROM part WHERE upper(p_name) LIKE '%A%'""",
     "q_dedup_exact" ->
-      """SELECT text, min(doc_id) AS keep_id, count(*) AS copies
-         FROM documents GROUP BY text""",
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS copies
+         FROM documents GROUP BY md5(text)""",
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp FROM documents""",
     "q_token_stats" ->

@@ -119,6 +119,44 @@ class FunctionsSpec extends SparkSpec {
     assert(dropped.contains(4L) && !dropped.contains(1L)) // min-id survives
   }
 
+  test("fingerprint dedup groups exactly like text dedup (collision check)") {
+    val d = docs // includes an exact dup pair (1, 4)
+    val byText = d.groupBy("text").agg(min("doc_id").as("k"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val byFp = d.groupBy(md5(col("text").cast("binary"))).agg(
+        min("doc_id").as("k"), count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(byText === byFp) // same groups ⇒ no collision, dup collapsed
+    assert(byFp.contains((1L, 2L))) // docs 1+4 share a fingerprint, min id kept
+  }
+
+  test("LSH completeness: every high-jaccard pair (j≥0.9) is caught and verified") {
+    // 3 clusters of 4 docs each, differing by one trailing word out of ~40
+    // tokens (pairwise shingle jaccard ≥ ~0.9), plus unrelated fillers.
+    // With 8 bands × 4 rows, P(miss | j=0.9) = (1-0.9^4)^8 ≈ 2e-4 per pair —
+    // a miss here means the banding is broken, not unlucky.
+    val base = Map(
+      0 -> (1 to 40).map(i => s"alpha$i").mkString(" "),
+      1 -> (1 to 40).map(i => s"beta$i").mkString(" "),
+      2 -> (1 to 40).map(i => s"gamma$i").mkString(" "))
+    val cluster = for (c <- 0 until 3; v <- 0 until 4)
+      yield (c * 10L + v, s"${base(c)} tail$v")
+    val filler = (100L until 110L).map(i => i -> (1 to 40).map(j => s"f${i}w$j").mkString(" "))
+    val d = (cluster ++ filler).toDF("doc_id", "text")
+    val pairs = SimOps.neardupPairs(d, "doc_id", "text", shingleN = 3)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (c <- 0 until 3; a <- 0 until 4; b <- (a + 1) until 4)
+      assert(pairs.contains((c * 10L + a, c * 10L + b)),
+        s"missing intra-cluster pair ($c: $a,$b); got $pairs")
+    // no cross-cluster or filler pair sneaks past verification
+    assert(pairs.forall { case (l, r) => l / 10 == r / 10 && l < 100 })
+    // keep-min-id survivors: exactly the three cluster minima + all fillers
+    val dropped = pairs.map(_._2)
+    val survivors = (cluster ++ filler).map(_._1).toSet -- dropped
+    assert(survivors === Set(0L, 10L, 20L) ++ (100L until 110L))
+  }
+
   test("annTopK: exact dup is every query's rank-1 neighbor with cosine 1") {
     val e = Seq(
       (1L, Seq(1.0f, 0.5f, -0.2f, 0.1f)), (2L, Seq(1.0f, 0.5f, -0.2f, 0.1f)),

@@ -52,6 +52,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") && plan.contains("Generate"), plan)
   }
 
+  test("code-mapping decode broadcasts the mapping dimension") {
+    val p = executedPlan(SparkEntry.queries("q_code_decode")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"mapping dim must broadcast:\n$p")
+  }
+
+  test("near-dup and ANN plans never fall back to a cartesian product") {
+    val nd = executedPlan(SparkEntry.queries("q_neardup_resolve")(spark, sf))
+    val ann = executedPlan(SparkEntry.queries("q_ann_lsh")(spark, sf))
+    assert(!nd.contains("CartesianProduct") && !nd.contains("BroadcastNestedLoop"),
+      s"near-dup must stay equi-join shaped:\n$nd")
+    assert(!ann.contains("CartesianProduct"),
+      s"ANN candidate join must be an equi-join on the probe bucket:\n$ann")
+  }
+
+  test("exact dedup hash-aggregates on the fingerprint, never sorting or shuffling raw text") {
+    val p = executedPlan(SparkEntry.queries("q_dedup_exact")(spark, sf))
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"fingerprint dedup must stay a hash aggregate:\n$p")
+    assert(!p.contains("hashpartitioning(text"), s"raw text must not be the shuffle key:\n$p")
+  }
+
   test("whole-stage codegen covers the hot scan+filter+project pipeline") {
     val df = SparkEntry.queries("q_valtype_encode")(spark, sf)
     val p = executedPlan(df)
