@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.CdcMerge
 import graft.sources.LakeTable
-import graft.streaming.CdcStream
+import graft.streaming.{CdcStream, Session, SessionEvent, StreamAnalytics}
 
 /** Structured-Streaming scenarios: multi-batch replay, resume-with-new-data from
   * the same checkpoint, crash-orphan tolerance (FIXTURES.md §2.3 crash-resume). */
@@ -63,6 +63,80 @@ class StreamSpec extends SparkSpec {
     val all = ChangeGen.events(spark, 500L, 10, 5, 0.0, 0.0).unionByName(
       ChangeGen.events(spark, 300L, 10, 5, 0.0, 0.0, seed = 7L, lsnStart = 1000L))
     assert(Oracle.diff(CdcMerge.state(t), Oracle.expectedState(all)).isEmpty)
+  }
+
+  test("watermarked windowed aggregation counts events per tumbling window") {
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)](
+      implicitly[org.apache.spark.sql.Encoder[(java.sql.Timestamp, String)]], spark)
+    val events = ms.toDF().toDF("ts", "role")
+    val q = StreamAnalytics.windowedCounts(events, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("append").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      ms.addData((t(0), "user"), (t(1), "user"), (t(2), "assistant"), (t(6), "user"))
+      q.processAllAvailable()
+      // push the watermark far past the first windows so they finalize
+      ms.addData((t(59), "user"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("wc")
+      .select(col("w_start").cast("string"), col("role"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains(("2024-01-01 10:00:00", "user", 2L)))
+    assert(rows.contains(("2024-01-01 10:00:00", "assistant", 1L)))
+    assert(rows.contains(("2024-01-01 10:05:00", "user", 1L)))
+  }
+
+  test("flatMapGroupsWithState sessionizer: gap splits, cross-batch state, timeout emission") {
+    import spark.implicits._
+    val gapMs = 30 * 60 * 1000L
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent](
+      implicitly[org.apache.spark.sql.Encoder[SessionEvent]], spark)
+    val q = StreamAnalytics.sessionize(ms.toDS(), gapMs, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    def ts(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    try {
+      // batch 1: conv A has two events 10 min apart (one session so far)
+      ms.addData(SessionEvent("A", ts(10, 0)), SessionEvent("A", ts(10, 10)))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() === 0L) // still open — nothing emitted
+      // batch 2: conv A resumes within the gap (cross-batch state continues the
+      // SAME session), then a far-future event closes it via the gap split
+      ms.addData(SessionEvent("A", ts(10, 30)), SessionEvent("A", ts(15, 0)))
+      q.processAllAvailable()
+      val closed = spark.table("sess").as[Session].collect()
+      assert(closed.length === 1)
+      assert(closed(0).session_start === ts(10, 0) &&
+        closed(0).session_end === ts(10, 30) && closed(0).n_events === 3L)
+      // batch 3: another conversation's late activity pushes the WATERMARK past
+      // 15:00 + gap, so conv A's trailing session closes by event-time timeout
+      ms.addData(SessionEvent("B", ts(20, 0)))
+      q.processAllAvailable()
+      ms.addData(SessionEvent("B", ts(20, 1))) // one more trigger to flush timeouts
+      q.processAllAvailable()
+      val all = spark.table("sess").as[Session].collect()
+      assert(all.exists(s => s.conv_id == "A" && s.session_start == ts(15, 0) &&
+        s.n_events == 1L), s"timeout must close the trailing session: ${all.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("batch sessionizer equals the window-function oracle on generated events") {
+    import spark.implicits._
+    val ev = ChangeGen.events(spark, 3000L, numConvs = 25, maxTurns = 8, pDelete = 0.1)
+    val input = ev.select(col("conv_id"), col("ts")).as[SessionEvent]
+    val gapMs = 30 * 60 * 1000L
+    val sessions = StreamAnalytics.sessionizeBatch(input, gapMs)
+      .groupBy("conv_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    // independent oracle: lag-window break counting (the q_sessionize form)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("conv_id").orderBy("ts")
+    val oracle = ev.select(col("conv_id"), col("ts"))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))) * 1000L > gapMs, 1L)
+        .otherwise(0L))
+      .groupBy("conv_id").agg(sum("brk").as("n_sessions"), count(lit(1)).as("n_events"))
+    assert(Oracle.diff(sessions, oracle).isEmpty)
   }
 
   test("crash orphans: data files written without a manifest commit are invisible and harmless") {
