@@ -221,6 +221,11 @@ object SparkEntry {
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"),
         round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"))),
+    "q_subword" -> ((s, d) =>
+      // BPE-ish token budget: words split on whitespace/punct/digits, ~4-char
+      // subword units per word (vocab-free approximation of BPE granularity)
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))),
     "q_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("lang").as("true_lang"), TextOps.langId(col("text")).as("pred_lang"))
@@ -438,6 +443,13 @@ object SparkEntry {
                  + (length(' '||text||' ') - length(replace(' '||text||' ',' in ',''))) / 4)
                  / greatest(CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS DOUBLE), 1.0)
                 , 6) AS stop_ratio
+         FROM documents""",
+    "q_subword" ->
+      """SELECT doc_id,
+                coalesce(list_sum(list_transform(
+                  list_filter(regexp_split_to_array(text, '[\s[:punct:][:digit:]]+'),
+                              w -> len(w) > 0),
+                  w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), 0) AS n_subwords
          FROM documents""",
     "q_lang_id" ->
       s"""SELECT true_lang, pred_lang, count(*) AS n FROM (
