@@ -265,6 +265,12 @@ object SparkEntry {
     }),
     "q_simhash" -> ((s, d) =>
       SimOps.simhashSignatures(t(s, d, "documents"), "doc_id", "text")),
+    "q_simhash_neardup" -> ((s, d) =>
+      // SimHash near-dup: 4×16-bit band blocking (pigeonhole-complete for
+      // Hamming ≤ 3) + exact full-width Hamming verify
+      SimOps.simhashNeardupPairs(
+        SimOps.simhashSignatures(t(s, d, "documents"), "doc_id", "text"),
+        "doc_id", maxHamming = 3)),
     "q_ngram_jaccard" -> ((s, d) =>
       // pairwise n-gram Jaccard blocked on LSH band buckets (NOT metadata blocks
       // like (lang, source): those grow linearly with the corpus, making the
@@ -508,6 +514,7 @@ object SparkEntry {
           SELECT CAST(sum(CAST(n * (n - 1) / 2 AS BIGINT)) AS BIGINT) AS candidate_pairs
           FROM counts""",
     "q_simhash" -> simhashOracleSql,
+    "q_simhash_neardup" -> simhashNeardupOracleSql(maxHamming = 3),
     "q_ngram_jaccard" ->
       s"""WITH ${lshCtesSql(shingleN = 2)}, $neardupCtesSql
           SELECT left_id, right_id, round(jaccard, 4) AS jac
@@ -587,7 +594,7 @@ object SparkEntry {
   /** SimOps.simhashSignatures mirrored: 64 signed bit-sums over exploded tokens,
     * bits from the two portable 32-bit md5 words. Bit values are emitted as
     * BIGINT literals because DuckDB's `<<` raises on overflow (bit 63). */
-  private def simhashOracleSql: String = {
+  private def simhashCtesSql: String = {
     val bitSums = (0 until 64).map { b =>
       val bit = if (b < 32) s"((lo >> $b) & 1)" else s"((hi >> ${b - 32}) & 1)"
       s"sum(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS b$b"
@@ -597,12 +604,30 @@ object SparkEntry {
       val litv = if (v < 0) "(-9223372036854775807 - 1)" else v.toString
       s"(CASE WHEN b$b > 0 THEN $litv ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
-                     FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+                FROM documents),
         h AS (SELECT doc_id, ${PortableHash.md5Hi32Sql("t")} AS hi,
                      ${PortableHash.md5Lo32Sql("t")} AS lo FROM tok),
-        bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
-        SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM bits"""
+        bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+        shs AS (SELECT doc_id, CAST($value AS BIGINT) AS simhash FROM bits)"""
+  }
+
+  private def simhashOracleSql: String =
+    s"WITH $simhashCtesSql SELECT doc_id, simhash FROM shs"
+
+  /** SimOps.simhashNeardupPairs mirrored: 4 × 16-bit band blocking + exact
+    * full-width Hamming verify. */
+  private def simhashNeardupOracleSql(maxHamming: Int): String = {
+    val bandVals = (0 until 4).map(b => s"(simhash >> ${16 * b}) & 65535").mkString(", ")
+    s"""WITH $simhashCtesSql,
+        bands AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS band,
+                         unnest([$bandVals]) AS bv
+                  FROM shs),
+        pairs AS (SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id,
+                         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT left_id, right_id, hamming FROM pairs WHERE hamming <= $maxHamming"""
   }
 
   /** Shared ANN CTEs mirroring SimOps.hyperplaneSignatures + the Hamming≤1

@@ -240,6 +240,28 @@ object SimOps {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup candidate pairs: the 64-bit fingerprint splits into four
+    * 16-bit bands; by pigeonhole, any pair within Hamming distance 3 shares at
+    * least one band intact, so the band equi-self-join finds ALL such pairs
+    * without an O(n²) scan. Pairs are verified with the exact full-width
+    * Hamming distance. Returns (left_id, right_id, hamming ≤ maxHamming). */
+  def simhashNeardupPairs(sigs: DataFrame, idCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    // the signature table feeds both join sides — materialize once
+    val s = sigs.localCheckpoint()
+    val bands = s.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), 16 * b).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("left_id"), col(s"b.$idCol").as("right_id"),
+        hamming64(col("a.simhash"), col("b.simhash")).cast("long").as("hamming"))
+      .distinct() // a close pair can collide in several bands
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ── blocked pairwise Jaccard (relational) ──────────────────────────────────
 
   /** Pairwise Jaccard, relational form: explode distinct shingles, self-join on
