@@ -87,4 +87,64 @@ class PropertySpec extends SparkSpec {
       assert(once === twice, s"case $i")
     }
   }
+
+  // ── similarity-family properties ────────────────────────────────────────────
+
+  private val docGen: Gen[List[(Long, String)]] =
+    for {
+      n <- Gen.choose(8, 16)
+      texts <- Gen.listOfN(n, for {
+        len <- Gen.choose(8, 18)
+        ws <- Gen.listOfN(len, Gen.choose(0, 25).map(i => s"w$i"))
+      } yield ws.mkString(" "))
+    } yield {
+      val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // exact dup + one-word mutation force non-vacuous near-dup structure
+      base ++ List((100L, base.head._2), (101L, base.head._2 + " wX"))
+    }
+
+  private def docCases(n: Int): Seq[List[(Long, String)]] =
+    (1 to n).map(i => docGen.apply(Gen.Parameters.default, Seed(7000L + i))
+      .getOrElse(Nil)).filter(_.nonEmpty)
+
+  test("property: LSH-verified jaccard equals brute-force jaccard on every emitted pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.SimOps
+    docCases(3).zipWithIndex.foreach { case (docs, i) =>
+      val df = docs.toDF("doc_id", "text")
+      val got = SimOps.neardupPairs(df, "doc_id", "text", shingleN = 2).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      assert(got.nonEmpty, s"case $i produced no candidates (dup pair must collide)")
+      val sh = df.select(col("doc_id"), SimOps.wordShingles(col("text"), 2).as("sh"))
+      val brute = sh.as("a").crossJoin(sh.as("b"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          SimOps.jaccard(col("a.sh"), col("b.sh")).as("j"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      got.foreach { case (pair, j) =>
+        assert(math.abs(j - brute(pair)) < 1e-12, s"case $i pair $pair: $j vs ${brute(pair)}")
+      }
+      // the exact-dup pair is always caught with jaccard exactly 1
+      assert(got.get((0L, 100L)).contains(1.0), s"case $i: dup pair missing or wrong: $got")
+    }
+  }
+
+  test("property: simhash band blocking finds EXACTLY the pairs with hamming ≤ 3") {
+    import spark.implicits._
+    import graft.functions.SimOps
+    docCases(3).zipWithIndex.foreach { case (docs, i) =>
+      val df = docs.toDF("doc_id", "text")
+      val sigsDf = SimOps.simhashSignatures(df, "doc_id", "text")
+      val sigs = sigsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+      val expected = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs if a < b
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+      } yield (a, b, h.toLong)).toSet
+      val got = SimOps.simhashNeardupPairs(sigsDf, "doc_id", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"case $i")
+      assert(expected.exists(p => p._1 == 0L && p._2 == 100L && p._3 == 0L)) // non-vacuous
+    }
+  }
 }
