@@ -170,6 +170,18 @@ object SparkEntry {
       // A4 max-date resolution per entity
       t(s, d, "orders").groupBy("o_custkey").agg(
         max("o_orderdate").as("last_order"), count(lit(1)).as("n_orders"))),
+    "q_age_bucket" -> ((s, d) =>
+      // A5 family: calendar-distance bucketing against a FIXED reference date
+      // (reference dest/metadata/DemographicsAgeBuilder.java:38-52 buckets ages
+      // via `sysdate - 365.25*age` arithmetic; fixed date keeps it deterministic)
+      t(s, d, "orders").select(col("o_orderkey"),
+          floor(datediff(lit("1998-12-31"), col("o_orderdate")) / 365.25)
+            .cast("long").as("age_years"))
+        .select(col("age_years"),
+          when(col("age_years") < 2, "fresh")
+            .when(col("age_years") < 4, "recent")
+            .otherwise("old").as("band"))
+        .groupBy("band").agg(count(lit(1)).as("n_orders"))),
     "q_date_distance" -> ((s, d) =>
       // A5 calendar distance (ship delay per priority)
       t(s, d, "orders")
@@ -411,6 +423,15 @@ object SparkEntry {
     "q_max_date" ->
       """SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS n_orders
          FROM orders GROUP BY o_custkey""",
+    "q_age_bucket" ->
+      """SELECT CASE WHEN age_years < 2 THEN 'fresh'
+                     WHEN age_years < 4 THEN 'recent'
+                     ELSE 'old' END AS band,
+                count(*) AS n_orders
+         FROM (SELECT CAST(floor(date_diff('day', o_orderdate, DATE '1998-12-31')
+                                 / 365.25) AS BIGINT) AS age_years
+               FROM orders)
+         GROUP BY 1""",
     "q_date_distance" ->
       """SELECT o_orderpriority,
                 round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_delay_days

@@ -28,7 +28,8 @@ object CdcStream {
       availableNow: Boolean = true,
       processingTimeMs: Long = 1000L,
       maxFilesPerTrigger: Option[Int] = None,
-      mergeMode: String = "mor"
+      mergeMode: String = "mor",
+      knownRoles: Option[Seq[String]] = None // P6 guard (see CdcMerge.rejectReason)
   )
 
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
@@ -49,7 +50,8 @@ object CdcStream {
         val table = LakeTable.loadOrCreate(
           batch.sparkSession, cfg.tableDir,
           CdcMerge.physicalSchema(Schemas.payloadOf(batch.schema)), cfg.numBuckets)
-        CdcMerge.applyBatch(table, batch, epochId, cfg.queryId, mode = cfg.mergeMode)
+        CdcMerge.applyBatch(table, batch, epochId, cfg.queryId, mode = cfg.mergeMode,
+          knownRoles = cfg.knownRoles)
         ()
       }
       .start()
