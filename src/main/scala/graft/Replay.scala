@@ -66,6 +66,15 @@ object Replay {
       println(s"compacted: files=${t.snapshot.files.size} rows=${CdcMerge.state(t).count()}")
       spark.stop()
 
+    case "rebucket" :: table :: n :: rest =>
+      val spark = session()
+      val t = LakeTable.load(spark, table)
+      graft.operators.Maintain.rebucket(t, n.toInt,
+        rest.headOption.map(_.toLong).getOrElse(Long.MinValue))
+      println(s"rebucketed to ${t.numBuckets} buckets: files=${t.snapshot.files.size} " +
+        s"rows=${CdcMerge.state(t).count()}")
+      spark.stop()
+
     case "truncate" :: table :: Nil =>
       val spark = session()
       val t = LakeTable.load(spark, table)

@@ -77,6 +77,30 @@ object Maintain {
           "graft.purgeBelow" -> purgeTombstonesBelow.toString))
   }
 
+  /** Rebucket: rewrite the table under a NEW bucket count and commit it
+    * atomically — the 100-TB growth migration (more buckets → one bucket's
+    * rewrite stays executor-sized; see lake.scala scale notes). Resolves
+    * version chains like compact and optionally purges old tombstones; the
+    * epoch ledger carries over, so streaming resumes exactly-once against the
+    * rebucketed table. */
+  def rebucket(table: LakeTable, newBuckets: Int,
+               purgeTombstonesBelow: Long = Long.MinValue): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
+    val s = table.snapshot
+    val parallelism = table.spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val all = CdcMerge.resolve(table.read())
+      .filter(!(col("_deleted") && col("_lsn") < purgeTombstonesBelow))
+      .withColumn("_gbucket", LakeTable.bucketCol(col("conv_id"), newBuckets))
+      // explicit partition count: an un-pinned repartition(col) gets
+      // AQE-coalesced to few fat partitions and the write serializes
+      .repartition(parallelism, col("_gbucket"))
+    val newFiles = table.writeDataFiles(all, s.version + 1, s.currentSchemaId)
+    table.commit(newFiles, s.schemas, s.currentSchemaId, s.applied,
+      Map("graft.operation" -> "rebucket",
+          "graft.numBuckets" -> newBuckets.toString),
+      newNumBuckets = Some(newBuckets))
+  }
+
   /** Garbage-collect data files referenced by NO snapshot (crash orphans) or only by
     * snapshots older than the latest `keepSnapshots`. Returns deleted file count. */
   def vacuum(table: LakeTable, keepSnapshots: Int = 3): Int = {

@@ -209,11 +209,15 @@ final class LakeTable(val spark: SparkSession, val dir: String,
     entries.toList
   }
 
-  /** Atomically commit a new snapshot. */
+  /** Atomically commit a new snapshot. `newNumBuckets` changes the table's
+    * bucket count (rebucketing — every committed file must already be written
+    * under the new bucketing; see Maintain.rebucket). */
   def commit(files: List[FileEntry], schemas: Map[String, String], currentSchemaId: Int,
-             applied: Map[String, Long], summary: Map[String, String]): Snapshot = {
+             applied: Map[String, Long], summary: Map[String, String],
+             newNumBuckets: Option[Int] = None): Snapshot = {
     val next = snap.copy(
       version = snap.version + 1,
+      numBuckets = newNumBuckets.getOrElse(snap.numBuckets),
       currentSchemaId = currentSchemaId,
       schemas = schemas,
       files = files,

@@ -14,6 +14,30 @@ class MaintainSpec extends SparkSpec {
     (t, ev)
   }
 
+  test("rebucket: state survives, new bucket layout prunes, streaming ledger carries over") {
+    val (t, ev) = loaded("rebucket")
+    val before = CdcMerge.state(t).orderBy("conv_id", "turn_idx").collect().toSeq
+    Maintain.rebucket(t, newBuckets = 32)
+    assert(t.numBuckets === 32)
+    assert(t.appliedEpoch("q") === 0L) // exactly-once ledger preserved
+    assert(CdcMerge.state(t).orderBy("conv_id", "turn_idx").collect().toSeq === before)
+    // every committed file's bucket tag matches the NEW bucketing of its rows
+    t.snapshot.files.foreach { f =>
+      assert(f.bucket >= 0 && f.bucket < 32)
+      val bad = spark.read.schema(t.snapshot.schemaFor(f.schemaId))
+        .parquet(s"${t.dir}/${f.path}")
+        .filter(LakeTable.bucketCol(col("conv_id"), 32) =!= f.bucket).count()
+      assert(bad === 0L, s"file ${f.path} holds rows outside bucket ${f.bucket}")
+    }
+    // a cow merge after rebucketing prunes on the new layout and stays correct
+    val ev2 = ChangeGen.events(spark, 200L, numConvs = 2, maxTurns = 6,
+      pDelete = 0.0, seed = 9L, lsnStart = 10000L)
+    val r = CdcMerge.applyBatch(t, ev2, 1L, "q", mode = "cow")
+    assert(r.applied && r.bucketsRewritten <= 2) // ≤ numConvs distinct buckets
+    assert(Oracle.diff(CdcMerge.state(t),
+      Oracle.expectedState(ev.unionByName(ev2))).isEmpty)
+  }
+
   test("truncate (REPLACE mode): table empties, ledger resets, history keeps the old snapshot") {
     val (t, _) = loaded("trunc")
     val vBefore = t.snapshot.version
