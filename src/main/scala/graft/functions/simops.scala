@@ -101,15 +101,12 @@ object SimOps {
       greatest(size(a) + size(b) - common, lit(1)).cast("double")
   }
 
-  /** Cosine similarity of two float/double vectors (sequential left-to-right
-    * fold — deterministic and identical to the oracle's list_reduce order). */
+  /** Cosine similarity of two float vectors via the native codegen'd
+    * [[FloatVecDot]] expression (ascending-index IEEE sums — bit-identical to
+    * the interpreted HOF fold it replaced AND to the oracle's list_reduce). */
   def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, v) => s + v)
-    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (s, v) => s + v))
-    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (s, v) => s + v))
-    dot / (na * nb)
+    val dot = FloatVecDot.dot(a, b)
+    dot / (sqrt(FloatVecDot.dot(a, a)) * sqrt(FloatVecDot.dot(b, b)))
   }
 
   // ── MinHash + LSH ──────────────────────────────────────────────────────────
@@ -348,9 +345,7 @@ object SimOps {
     * [[neardupPairs]]. */
   def cosineNeardupPairs(vecs: DataFrame, idCol: String, vecCol: String,
                          planes: Int = 8, radius: Int = 1): DataFrame = {
-    val nrm = sqrt(aggregate(
-      transform(col(vecCol), x => x.cast("double") * x.cast("double")),
-      lit(0.0), (s, v) => s + v))
+    val nrm = sqrt(FloatVecDot.dot(col(vecCol), col(vecCol)))
     val index = vecs.select(col(idCol), col(vecCol), nrm.as("_nrm"))
       .join(hyperplaneSignatures(vecs, idCol, vecCol, planes), idCol)
       .localCheckpoint()
@@ -358,9 +353,7 @@ object SimOps {
     val probes = index.select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
       col("_nrm").as("_qn"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("_pb"))
-    val dot = aggregate(
-      zip_with(col("_qv"), col(vecCol), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (s, v) => s + v)
+    val dot = FloatVecDot.dot(col("_qv"), col(vecCol))
     // left<right keeps one direction; the pair is also generated exactly once
     // on that side, because only ONE mask maps bucket(left) onto bucket(right)
     // (mask = xor of the two buckets) — so no distinct pass is needed
@@ -374,10 +367,8 @@ object SimOps {
               planes: Int = 8, k: Int = 3, radius: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // norms are computed ONCE per vector here, not per candidate pair — only
-    // the dot product (one sequential fold, deterministic order) runs per pair
-    val nrm = sqrt(aggregate(
-      transform(col(vecCol), x => x.cast("double") * x.cast("double")),
-      lit(0.0), (s, v) => s + v))
+    // the dot product (one codegen'd FloatVecDot loop) runs per pair
+    val nrm = sqrt(FloatVecDot.dot(col(vecCol), col(vecCol)))
     // the index feeds both the probe side and the candidate side — materialize
     // once instead of re-deriving signatures per branch
     val index = vecs.select(col(idCol), col(vecCol), nrm.as("_nrm"))
@@ -387,9 +378,7 @@ object SimOps {
     val probes = index.select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
       col("_nrm").as("_qn"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("_pb"))
-    val dot = aggregate(
-      zip_with(col("_qv"), col(vecCol), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (s, v) => s + v)
+    val dot = FloatVecDot.dot(col("_qv"), col(vecCol))
     val cands = probes.join(index, probes("_pb") === index("bucket"))
       .filter(col("_qid") =!= col(idCol))
       .select(col("_qid"), col(idCol).as("nn_id"),

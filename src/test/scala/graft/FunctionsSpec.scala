@@ -198,6 +198,28 @@ class FunctionsSpec extends SparkSpec {
     assert(recalls(2) >= 0.29, s"radius-2 recall ${recalls(2)} must beat 2× random scan")
   }
 
+  test("FloatVecDot (native codegen expression) is bit-identical to the HOF fold") {
+    import graft.functions.FloatVecDot
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() - 0.5f), Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+      .toDF("id", "a", "b")
+    val hofDot = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (s, v) => s + v)
+    val diff = vecs.select(FloatVecDot.dot(col("a"), col("b")).as("fast"), hofDot.as("hof"))
+      .filter(col("fast") =!= col("hof")).count() // exact ==, not a tolerance
+    assert(diff === 0L)
+    // and the expression stays inside a whole-stage-codegen span (repartition
+    // forces a real Project stage; execute first so AQE finalizes the plan and
+    // prints its codegen markers)
+    val df = vecs.repartition(2).select(FloatVecDot.dot(col("a"), col("b")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(") && plan.contains("float_vec_dot"),
+      s"expected float_vec_dot inside a codegen span:\n$plan")
+  }
+
   test("cosine similarity: identical=1, orthogonal=0") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
       .toDF("a", "b", "c")
