@@ -38,6 +38,25 @@ class MaintainSpec extends SparkSpec {
       Oracle.expectedState(ev.unionByName(ev2))).isEmpty)
   }
 
+  test("rebucket after schema evolution: multi-schema files rewrite onto the current schema") {
+    val dir = tmpDir("rebucket-evo")
+    val t = LakeTable.create(spark, dir, CdcMerge.physicalSchema(Schemas.transcript), 8)
+    val e0 = ChangeGen.events(spark, 1000L, numConvs = 20, maxTurns = 5, pDelete = 0.0)
+    CdcMerge.applyBatch(t, e0, 0L, "q")
+    // epoch 1 evolves the schema (new payload column) on a few conversations,
+    // leaving most rows on old-schema files
+    val e1 = ChangeGen.events(spark, 100L, numConvs = 3, maxTurns = 5, pDelete = 0.0,
+      lsnStart = 5000L).withColumn("tool_version", concat(lit("v"), col("lsn") % 3))
+    CdcMerge.applyBatch(t, e1, 1L, "q")
+    assert(t.snapshot.files.map(_.schemaId).distinct.size === 2) // mixed-schema table
+    val before = CdcMerge.state(t).orderBy("conv_id", "turn_idx").collect().toSeq
+    Maintain.rebucket(t, newBuckets = 32)
+    // all files now carry the CURRENT schema id; state unchanged
+    assert(t.numBuckets === 32)
+    assert(t.snapshot.files.map(_.schemaId).distinct === List(t.snapshot.currentSchemaId))
+    assert(CdcMerge.state(t).orderBy("conv_id", "turn_idx").collect().toSeq === before)
+  }
+
   test("truncate (REPLACE mode): table empties, ledger resets, history keeps the old snapshot") {
     val (t, _) = loaded("trunc")
     val vBefore = t.snapshot.version
