@@ -471,10 +471,14 @@ object SparkEntry {
                  / greatest(CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS DOUBLE), 1.0)
                 , 6) AS stop_ratio
          FROM documents""",
+    // the split class is TextOps.subwordDelimClass VERBATIM: explicit hex ranges
+    // parse identically in Java regex (Spark) and RE2 (DuckDB) — shorthand
+    // classes like \s / [:punct:] diverge on edge chars (RE2's \s excludes
+    // U+000B; Java's includes it), which failed the hash gate in round 2
     "q_subword" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
                 coalesce(list_sum(list_transform(
-                  list_filter(regexp_split_to_array(text, '[\s[:punct:][:digit:]]+'),
+                  list_filter(regexp_split_to_array(text, '${TextOps.subwordDelimClass}'),
                               w -> len(w) > 0),
                   w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), 0) AS n_subwords
          FROM documents""",

@@ -13,11 +13,30 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(filter(split(text, " "), t => length(t) > 0))
 
+  /** The subword delimiter class: ASCII whitespace + punctuation + digits,
+    * spelled as EXPLICIT hex ranges — never `\s`/`\p{Punct}`/`[:punct:]`
+    * shorthands. Shorthand classes silently diverge between regex dialects
+    * (Java's `\s` matches U+000B vertical tab, RE2's `\s` does not — a
+    * hash-gate failure found the hard way), while hex ranges parse identically
+    * in Java regex and RE2/POSIX, so this ONE string is used verbatim in both
+    * the Spark split and the DuckDB oracle. Ranges: \x20-\x40 = space + `!`-`/`
+    * + digits + `:`-`@`; \x5b-\x60 = `[`-`` ` ``; \x7b-\x7e = `{`-`~`. */
+  val subwordDelimClass: String =
+    "[\\t\\n\\x0b\\f\\r\\x20-\\x40\\x5b-\\x60\\x7b-\\x7e]+"
+
+  /** Pure-Scala twin of [[subwordDelimClass]] — the FunctionsSpec character
+    * sweep asserts the regex matches exactly this set, so a shorthand class
+    * can never sneak back in. */
+  def isSubwordDelim(c: Char): Boolean =
+    c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r' ||
+      (c >= ' ' && c <= '@') || (c >= '[' && c <= '`') ||
+      (c >= '{' && c <= '~')
+
   /** A BPE-ish subword count: tokens split on whitespace AND punctuation/digit
     * boundaries, counting ~4-char subword units for long words (approximates BPE
     * vocabulary granularity without a vocab file). */
   def subwordCount(text: Column): Column = {
-    val words = filter(split(text, "[\\s\\p{Punct}\\d]+"), t => length(t) > 0)
+    val words = filter(split(text, subwordDelimClass), t => length(t) > 0)
     aggregate(words, lit(0), (acc, w) => acc + ceil(length(w) / 4.0).cast("int"))
   }
 

@@ -22,6 +22,52 @@ class FunctionsSpec extends SparkSpec {
     assert(r.toSeq === Seq(3, 0, 0, 1))
   }
 
+  test("subword delimiter class is dialect-portable: char sweep + no shorthands") {
+    // Guard 1: the pattern must contain ONLY portable primitives — hex escapes,
+    // literal ranges, simple escapes. Any dialect shorthand (\s, \d, \w, \p{..},
+    // POSIX [:class:]) diverges between Java regex (Spark) and RE2 (DuckDB) on
+    // edge characters; round 2's q_subword hash failure was exactly Java-\s
+    // matching U+000B where RE2-\s does not.
+    val cls = TextOps.subwordDelimClass
+    for (bad <- Seq("\\s", "\\S", "\\d", "\\D", "\\w", "\\W", "\\p{", "\\P{", "[:"))
+      assert(!cls.contains(bad), s"shorthand '$bad' must not appear in $cls")
+    // Guard 2: the Java-regex semantics of the class equal the enumerated
+    // pure-Scala predicate, swept over the full Latin/control range plus the
+    // tricky characters that expose dialect divergence: U+000B vertical tab,
+    // NBSP, unicode spaces (U+2000..U+200A, U+2028/9, U+3000), CJK punctuation
+    // (U+3002 。, U+FF0C ，, U+FF1F ？) — all must be NON-delimiters (ASCII-only
+    // class), and the ASCII delimiters must all match.
+    val one = java.util.regex.Pattern.compile(cls.stripSuffix("+"))
+    val sweep = (0x00 to 0x2FF).map(_.toChar) ++
+      Seq('\u00A0', '\u1680', '\u2028', '\u2029', '\u3000', '\u3002', '\uFF0C', '\uFF1F') ++
+      (0x2000 to 0x200A).map(_.toChar)
+    sweep.foreach { c =>
+      assert(one.matcher(c.toString).matches() === TextOps.isSubwordDelim(c),
+        f"char U+${c.toInt}%04X: regex and enumerated predicate disagree")
+    }
+    // Guard 3: Spark's split over the class agrees with a pure-Scala reference
+    // tokenizer on strings built from the tricky characters.
+    def refCount(s: String): Long = {
+      val words = s.split("").foldLeft(List("")) { (acc, ch) =>
+        if (ch.nonEmpty && TextOps.isSubwordDelim(ch.head)) "" :: acc
+        else (acc.head + ch) :: acc.tail
+      }.reverse.filter(_.nonEmpty)
+      words.map(w => math.ceil(w.length / 4.0).toLong).sum
+    }
+    val tricky = Seq(
+      "plain words only here",
+      "tab\tand\u000Bvertical\ftabs\rmixed",
+      "nbsp\u00A0is not\u00A0a delimiter",
+      "cjk句子。带标点，测试？结束",
+      "digits123split456words",
+      "punct!mix@of#every$kind%left&right",
+      "", "   ", "\u000B\u000B", "a\u000Bb")
+    val got = tricky.toDF("text")
+      .select(TextOps.subwordCount(col("text")).cast("long")).collect().map(_.getLong(0))
+    assert(got.toSeq === tricky.map(refCount),
+      s"spark split disagrees with reference tokenizer on ${tricky.zip(got)}")
+  }
+
   test("occurrences counts non-overlapping literal matches") {
     val r = Seq("ababab", "xxx", "aba").toDF("t")
       .select(TextOps.occurrences(col("t"), "ab").as("n")).collect().map(_.getLong(0))
