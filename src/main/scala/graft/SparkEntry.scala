@@ -308,7 +308,7 @@ object SparkEntry {
       // real ANN search: hyperplane-LSH buckets + Hamming≤1 multi-probe +
       // within-probe brute-force cosine top-3 per query vector
       SimOps.annTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-          planes = 8, k = 3)
+          planes = 8, k = 3, maxBucket = 200)
         .select(col("vec_id"), col("rank").cast("long").as("rank"),
           col("nn_id"), col("cos"))),
     "q_embed_neardup" -> ((s, d) =>
@@ -316,7 +316,7 @@ object SparkEntry {
       // probe) with exact cosine ≥ threshold — the embedding analog of
       // q_neardup_resolve's candidates→verify stage
       SimOps.cosineNeardupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-          planes = 8, radius = 1)
+          planes = 8, radius = 1, maxBucket = 200)
         .filter(col("cos") >= 0.2))
   )
 
@@ -661,6 +661,8 @@ object SparkEntry {
     * Spark aggregate()'s). Exposes CTEs ex/coefs/dots/sig/idx/probes and the
     * `cosExpr` for a probes-p × idx-i join. */
   private val annPlanes = 8
+  // index-side bucket cap, part of the operator contract (SimOps.capIndexBuckets)
+  private val annMaxBucket = 200
   private def annCosExprSql: String = {
     def fold(items: String) =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $items), (s, v) -> s + v)"
@@ -685,10 +687,13 @@ object SparkEntry {
         coefs AS (SELECT d, $coefCols FROM (SELECT DISTINCT d FROM ex)),
         dots AS (SELECT vec_id, $dotCols FROM ex JOIN coefs USING (d) GROUP BY vec_id),
         sig AS (SELECT vec_id, $bucketExpr AS bucket FROM dots),
-        idx AS (SELECT e.vec_id, e.embedding, s.bucket
-                FROM embeddings e JOIN sig s USING (vec_id)),
+        idx0 AS (SELECT e.vec_id, e.embedding, s.bucket
+                 FROM embeddings e JOIN sig s USING (vec_id)),
+        bsz AS (SELECT bucket, count(*) AS bn FROM idx0 GROUP BY bucket),
+        idx AS (SELECT idx0.vec_id, idx0.embedding, idx0.bucket
+                FROM idx0 JOIN bsz USING (bucket) WHERE bn <= $annMaxBucket),
         probes AS (SELECT vec_id AS q_id, embedding AS q_emb, xor(bucket, m) AS pb
-                   FROM idx, (SELECT unnest([$masks]) AS m) masks)"""
+                   FROM idx0, (SELECT unnest([$masks]) AS m) masks)"""
   }
 
   /** SimOps.annTopK mirrored over [[annCtesSql]]. */

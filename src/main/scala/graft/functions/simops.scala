@@ -317,6 +317,31 @@ object SimOps {
           .reduce(_ + _).as("bucket"))
   }
 
+  /** Planes for a corpus of `n` vectors targeting ~`targetBucket` vectors per
+    * bucket: the bucket space 2^planes must GROW with the corpus or bucket
+    * population grows O(n/2^planes) and the probe equi-join degenerates toward
+    * all-pairs — the same scale bug as metadata blocking for text near-dup.
+    * log₂(n/targetBucket), clamped to [8, 24] (256 buckets minimum keeps small
+    * corpora probe-efficient; 16M buckets is plenty at 10⁹ vectors). */
+  def planesFor(n: Long, targetBucket: Int = 64): Int = {
+    val needed = math.ceil(math.log(math.max(n, 1).toDouble / targetBucket)
+      / math.log(2.0)).toInt
+    math.min(24, math.max(8, needed))
+  }
+
+  /** Index side bounded to buckets of ≤ `maxBucket` members (the
+    * candidatePairs guard, applied to the embedding family): a degenerate
+    * bucket — all-zero vectors, a heavily clustered corpus, or planes too few
+    * for the corpus size — would otherwise make the probe join quadratic on
+    * one key. Like maxBucket in [[candidatePairs]], the cap is part of the
+    * operator CONTRACT (the oracle applies the same cap); vectors in dropped
+    * buckets still PROBE (they appear on the query side), they just stop being
+    * candidates. */
+  private def capIndexBuckets(index: DataFrame, maxBucket: Int): DataFrame = {
+    val sizes = index.groupBy("bucket").agg(count(lit(1)).as("_bn"))
+    index.join(sizes.filter(col("_bn") <= maxBucket).drop("_bn"), Seq("bucket"))
+  }
+
   /** All probe masks within Hamming distance `radius` of a signature
     * (0 = own bucket only; 1 adds single-bit flips; 2 adds bit pairs …). */
   def probeMasks(planes: Int, radius: Int): Seq[Long] = {
@@ -344,11 +369,13 @@ object SimOps {
     * `filter(cos >= θ)` + keep-min-id anti-join — the embedding analog of
     * [[neardupPairs]]. */
   def cosineNeardupPairs(vecs: DataFrame, idCol: String, vecCol: String,
-                         planes: Int = 8, radius: Int = 1): DataFrame = {
+                         planes: Int = 8, radius: Int = 1,
+                         maxBucket: Int = 200): DataFrame = {
     val nrm = sqrt(FloatVecDot.dot(col(vecCol), col(vecCol)))
     val index = vecs.select(col(idCol), col(vecCol), nrm.as("_nrm"))
       .join(hyperplaneSignatures(vecs, idCol, vecCol, planes), idCol)
       .localCheckpoint()
+    val bounded = capIndexBuckets(index, maxBucket)
     val masks = probeMasks(planes, radius)
     val probes = index.select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
       col("_nrm").as("_qn"),
@@ -356,15 +383,18 @@ object SimOps {
     val dot = FloatVecDot.dot(col("_qv"), col(vecCol))
     // left<right keeps one direction; the pair is also generated exactly once
     // on that side, because only ONE mask maps bucket(left) onto bucket(right)
-    // (mask = xor of the two buckets) — so no distinct pass is needed
-    probes.join(index, probes("_pb") === index("bucket"))
+    // (mask = xor of the two buckets) — so no distinct pass is needed.
+    // NOTE the asymmetry under the cap: a pair is kept iff the RIGHT member's
+    // bucket is within the cap (probes are uncapped); the oracle mirrors this.
+    probes.join(bounded, probes("_pb") === bounded("bucket"))
       .filter(col("_qid") < col(idCol))
       .select(col("_qid").as("left_id"), col(idCol).as("right_id"),
         round(dot / (col("_qn") * col("_nrm")), 6).as("cos"))
   }
 
   def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
-              planes: Int = 8, k: Int = 3, radius: Int = 1): DataFrame = {
+              planes: Int = 8, k: Int = 3, radius: Int = 1,
+              maxBucket: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // norms are computed ONCE per vector here, not per candidate pair — only
     // the dot product (one codegen'd FloatVecDot loop) runs per pair
@@ -374,12 +404,13 @@ object SimOps {
     val index = vecs.select(col(idCol), col(vecCol), nrm.as("_nrm"))
       .join(hyperplaneSignatures(vecs, idCol, vecCol, planes), idCol)
       .localCheckpoint()
+    val bounded = capIndexBuckets(index, maxBucket)
     val masks = probeMasks(planes, radius)
     val probes = index.select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
       col("_nrm").as("_qn"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("_pb"))
     val dot = FloatVecDot.dot(col("_qv"), col(vecCol))
-    val cands = probes.join(index, probes("_pb") === index("bucket"))
+    val cands = probes.join(bounded, probes("_pb") === bounded("bucket"))
       .filter(col("_qid") =!= col(idCol))
       .select(col("_qid"), col(idCol).as("nn_id"),
         round(dot / (col("_qn") * col("_nrm")), 6).as("cos"))

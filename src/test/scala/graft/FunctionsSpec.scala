@@ -244,6 +244,41 @@ class FunctionsSpec extends SparkSpec {
     assert(recalls(2) >= 0.29, s"radius-2 recall ${recalls(2)} must beat 2× random scan")
   }
 
+  test("embedding-LSH bucket cap bounds candidates on a degenerate corpus") {
+    // 60 IDENTICAL vectors: every one lands in the same hyperplane bucket, so
+    // without the cap the probe join is quadratic on that key (60·59/2 pairs).
+    // With maxBucket=10 the degenerate bucket is dropped from the index side
+    // and produces ZERO candidates — the uncapped corpus would OOM one reducer
+    // at 10⁹ vectors.
+    val degenerate = (0L until 60L).map(i => (i, Seq(1.0f, 0.5f, -0.2f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    assert(SimOps.cosineNeardupPairs(degenerate, "vec_id", "embedding",
+      planes = 8, radius = 1, maxBucket = 10).count() === 0L)
+    assert(SimOps.annTopK(degenerate, "vec_id", "embedding",
+      planes = 8, k = 3, radius = 1, maxBucket = 10).count() === 0L)
+    // with the cap above the bucket size, all pairs come back (cos = 1)
+    val pairs = SimOps.cosineNeardupPairs(degenerate, "vec_id", "embedding",
+      planes = 8, radius = 1, maxBucket = 100)
+    assert(pairs.count() === 60L * 59 / 2)
+    // and a mixed corpus: the degenerate cluster is capped away, the small
+    // healthy cluster still pairs up
+    val mixed = degenerate.unionByName(
+      Seq((100L, Seq(-1.0f, -0.5f, 0.9f, 0.3f)), (101L, Seq(-1.0f, -0.5f, 0.9f, 0.3f)))
+        .toDF("vec_id", "embedding"))
+    val got = SimOps.cosineNeardupPairs(mixed, "vec_id", "embedding",
+      planes = 8, radius = 1, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((100L, 101L)))
+  }
+
+  test("planesFor grows the bucket space with the corpus") {
+    assert(SimOps.planesFor(1000) === 8)            // floor: 256 buckets minimum
+    assert(SimOps.planesFor(1000000) === 14)        // 1M/64 ≈ 2^14
+    assert(SimOps.planesFor(1000000000L) === 24)    // clamped ceiling
+    val seq = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L).map(SimOps.planesFor(_))
+    assert(seq === seq.sorted, s"planesFor must be monotone: $seq")
+  }
+
   test("FloatVecDot (native codegen expression) is bit-identical to the HOF fold") {
     import graft.functions.FloatVecDot
     val rnd = new scala.util.Random(42)
