@@ -53,7 +53,8 @@ object Replay {
       val spark = session()
       val t = LakeTable.load(spark, table)
       println(s"schema: ${t.schema.simpleString}")
-      println(s"rows: ${CdcMerge.state(t).count()}  files: ${t.snapshot.files.size}  " +
+      println(s"rows: ${CdcMerge.state(t).count()}  physicalRows: ${t.physicalRows}  " +
+        s"files: ${t.snapshot.files.size}  " +
         s"snapshot: v${t.snapshot.version}  summary: ${t.snapshot.summary}")
       CdcMerge.state(t).orderBy("conv_id", "turn_idx").show(rest.headOption.map(_.toInt).getOrElse(10), false)
       spark.stop()

@@ -71,8 +71,11 @@ class HadoopLakeIO(conf: org.apache.hadoop.conf.Configuration) extends LakeIO {
     f.exists(new HPath(path)) && f.getFileStatus(new HPath(path)).isDirectory
   }
   def exists(path: String): Boolean = fs(path).exists(new HPath(path))
+  // full URI strings, NOT toUri.getPath: stripping the scheme+authority would
+  // make callers (writeDataFiles' move, vacuum's delete) resolve the children
+  // against the DEFAULT filesystem — wrong-FS moves/deletes on abfs/gs/s3a/HDFS
   def listDir(dir: String): Seq[String] =
-    fs(dir).listStatus(new HPath(dir)).toSeq.map(_.getPath.toUri.getPath)
+    fs(dir).listStatus(new HPath(dir)).toSeq.map(_.getPath.toString)
   def readString(path: String): String = {
     val in = fs(path).open(new HPath(path))
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
@@ -100,7 +103,10 @@ class HadoopLakeIO(conf: org.apache.hadoop.conf.Configuration) extends LakeIO {
 /** One committed data file. `path` is relative to the table root; `bucket` is the
   * hash bucket of every `conv_id` in the file (file-level pruning key); `schemaId`
   * indexes into the snapshot's schema registry (files written before a schema
-  * evolution keep their original physical schema — evolution never rewrites data). */
+  * evolution keep their original physical schema — evolution never rewrites data);
+  * `rows` is the file's physical row count (from its parquet footer at commit
+  * time — includes tombstones and superseded merge-on-read versions, so it is a
+  * file-size statistic, not the table's live-row count). */
 final case class FileEntry(path: String, bucket: Int, schemaId: Int, rows: Long)
 
 /** An immutable table snapshot, stored as one JSON manifest per version.
@@ -202,12 +208,27 @@ final class LakeTable(val spark: SparkSession, val dir: String,
           .foreach { case (f, i) =>
             val name = f"data/e${version}_b${bucket}_$i%05d.parquet"
             io.move(f, s"$dir/$name")
-            entries += FileEntry(name, bucket, schemaId, -1L)
+            entries += FileEntry(name, bucket, schemaId, parquetRows(s"$dir/$name"))
           }
       }
     io.deleteRecursively(tmp)
     entries.toList
   }
+
+  /** Physical row count from the parquet footer (one small metadata read per
+    * committed file — the same stat Iceberg carries per data file; lets readers
+    * size buckets and plan compaction without opening data pages). */
+  private def parquetRows(path: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path),
+      spark.sessionState.newHadoopConf())
+    scala.util.Using.resource(ParquetFileReader.open(in))(_.getRecordCount)
+  }
+
+  /** Sum of committed files' physical rows (tombstones + superseded versions
+    * included — see [[FileEntry.rows]]). */
+  def physicalRows: Long = snap.files.map(_.rows).sum
 
   /** Atomically commit a new snapshot. `newNumBuckets` changes the table's
     * bucket count (rebucketing — every committed file must already be written

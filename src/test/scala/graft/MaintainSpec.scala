@@ -88,6 +88,11 @@ class MaintainSpec extends SparkSpec {
     assert(stateBefore === stateAfter)
     // compaction bounds file count to ~one per non-empty bucket
     assert(t.snapshot.files.size <= t.numBuckets)
+    // manifest row stats are populated from parquet footers and sum to the
+    // physical table (post-compaction: no tombstones, so physical == state)
+    assert(t.snapshot.files.forall(_.rows > 0L))
+    assert(t.physicalRows === t.read().count())
+    assert(t.physicalRows === stateAfter.size.toLong)
   }
 
   test("vacuum removes crash orphans but never live files") {
