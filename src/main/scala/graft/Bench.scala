@@ -124,13 +124,29 @@ object Bench {
       try SparkEntry.queries("q1_agg")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      // SPARK_GRAFT_BENCH_BEST_OF=k (default 1): per-query best-of-k in ONE
+      // JVM — at sf0.1 single-shot times are codegen-compile/JIT-dominated
+      // (±2-4s); best-of-k measures the PLAN. Extra Spark confs ride in via
+      // SPARK_GRAFT_SPARK_CONF="k=v;k=v" (e.g. the sim materialize strategy).
+      sys.env.get("SPARK_GRAFT_SPARK_CONF").foreach(_.split(";").foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
+      val bestOf = sys.env.getOrElse("SPARK_GRAFT_BENCH_BEST_OF", "1").toInt
       val r = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => filter.forall(_.contains(n)) }
         .map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-          catch { case _: Throwable => () }
-          name -> (System.nanoTime() - t0) / 1e9
+          val times = (1 to bestOf).map { _ =>
+            // drop cached fragments: the sim operators persist() multi-branch
+            // intermediates, and Spark's CacheManager matches them by
+            // canonicalized plan — a repeat (or a later query sharing the
+            // fragment) would otherwise measure a cache hit, not the plan
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+            catch { case _: Throwable => () }
+            (System.nanoTime() - t0) / 1e9
+          }
+          name -> times.min
         }
       spark.stop()
       r

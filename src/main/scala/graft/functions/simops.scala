@@ -44,6 +44,32 @@ object PortableHash {
 object SimOps {
   import PortableHash._
 
+  /** Materialize a multi-branch intermediate exactly once (self-joined /
+    * multi-branch derived frames otherwise re-run the whole upstream per
+    * branch). Strategy via `spark.graft.sim.materialize`:
+    *  - `localCheckpoint` (default): executor-local blocks, truncated lineage.
+    *    Fastest single-node (measured ~1.2s faster than lazy persist on the
+    *    sf0.1 near-dup pipeline), but NOT fault-tolerant: a lost executor
+    *    loses its blocks and fails the job. Fine where the sandbox/bench runs;
+    *    on a real multi-executor cluster a long near-dup job should NOT use it.
+    *  - `persist`: eager MEMORY_AND_DISK cache with recomputable lineage — a
+    *    lost executor recomputes its partitions instead of failing the job.
+    *    Set this on clusters (`spark.conf.set("spark.graft.sim.materialize",
+    *    "persist")`); eager (one count()) because a lazy cache lets the
+    *    downstream job's two root stages race to compute-and-cache the same
+    *    partitions. At extreme scale prefer writing the intermediate to a
+    *    staging table (the `_lineage`-sibling pattern in sources/lake.scala).
+    * Both strategies produce identical results (FunctionsSpec asserts it). */
+  private def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.sim.materialize")
+      .getOrElse("localCheckpoint") match {
+      case "persist" =>
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      case _ => df.localCheckpoint()
+    }
+
   /** Universal-hash modulus 2^31−1 (all arithmetic stays far below 2^63, so the
     * identical expressions are overflow-safe in both engines). */
   val M31 = 2147483647L
@@ -155,13 +181,21 @@ object SimOps {
     * contributes O(n²) useless pairs; real near-dup sets are small. The cap is
     * part of the operator's CONTRACT (the oracle applies the same cap). */
   def candidatePairs(bandsDf: DataFrame, idCol: String,
-                     maxBucket: Int = 200): DataFrame = {
+                     maxBucket: Int = 200): DataFrame =
+    rawCandidatePairs(bandsDf, idCol, maxBucket).distinct()
+
+  /** Candidate pairs WITH band-collision duplicates (a pair sharing b band
+    * buckets appears b times). [[neardupPairs]] feeds this straight into the
+    * verify aggregation — which dedups by construction — instead of paying a
+    * distinct shuffle whose keys the verify joins immediately re-shuffle. */
+  def rawCandidatePairs(bandsDf: DataFrame, idCol: String,
+                        maxBucket: Int = 200): DataFrame = {
     // Materialize the (id, band, bucket) rows once: they feed THREE plan
     // branches (bucket sizing + both sides of the pair self-join), and without
-    // a checkpoint Spark re-evaluates the whole shingle→minhash→band pipeline
-    // per branch. The materialized set is 1 row per (doc, band) — executor-local
-    // storage, the Iceberg-staging-table analog, tiny next to the corpus.
-    val bands = bandsDf.localCheckpoint()
+    // a materialization Spark re-evaluates the whole shingle→minhash→band
+    // pipeline per branch. The materialized set is 1 row per (doc, band) —
+    // tiny next to the corpus.
+    val bands = materialize(bandsDf)
     val sizes = bands.groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
     val bounded = bands.join(sizes.filter(col("_n") <= maxBucket).drop("_n"),
       Seq("band", "bucket"))
@@ -169,7 +203,6 @@ object SimOps {
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("left_id"), col(s"b.$idCol").as("right_id"))
-      .distinct()
   }
 
   /** Verify candidate pairs with exact Jaccard, relationally: per-doc DISTINCT
@@ -177,7 +210,15 @@ object SimOps {
     * (codegen'd hash join keyed by the shingle's 64-bit hash — a shuffle-size
     * optimization only; jaccard VALUES are hash-independent), then
     * |A∪B| = |A|+|B|−|A∩B|. Pairs sharing zero shingles produce no row —
-    * equivalent under any `jaccard >= θ` downstream filter. */
+    * equivalent under any `jaccard >= θ` downstream filter.
+    *
+    * `pairs` must be DISTINCT (left_id, right_id) rows. A fused variant that
+    * feeds rawCandidatePairs' duplicates into a count(distinct shingle) here —
+    * saving the distinct shuffle — was MEASURED SLOWER at sf0.1 (8.4s vs 7.3s
+    * single-shot: the (l,r,s)-keyed partial aggregate and the dup-inflated
+    * join fan-out cost more than the pair-keyed distinct they replaced, whose
+    * map-side partial aggregation already shrinks the shuffle), so the
+    * straightforward shape stays. */
   def verifiedPairsFromRows(rows: DataFrame, pairs: DataFrame,
                             idCol: String): DataFrame = {
     val dist = rows.dropDuplicates(idCol, "_sh")
@@ -205,11 +246,11 @@ object SimOps {
                    shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                    rowsPerBand: Int = 4, maxBucket: Int = 200): DataFrame = {
     // shingle rows feed both the signature branch and the verify branch —
-    // materialize once (at extreme scale, trading executor-local storage for
-    // not re-tokenizing the corpus)
-    val rows = shingleRows(docs, idCol, textCol, shingleN).localCheckpoint()
+    // materialize once (trading cache/disk for not re-tokenizing the corpus)
+    val rows = materialize(shingleRows(docs, idCol, textCol, shingleN))
     val sigs = minhashSignaturesFromRows(rows, idCol, k)
-    val pairs = candidatePairs(bandBuckets(sigs, idCol, bands, rowsPerBand), idCol, maxBucket)
+    val pairs = candidatePairs(bandBuckets(sigs, idCol, bands, rowsPerBand),
+      idCol, maxBucket)
     verifiedPairsFromRows(rows, pairs, idCol)
   }
 
@@ -245,7 +286,7 @@ object SimOps {
   def simhashNeardupPairs(sigs: DataFrame, idCol: String,
                           maxHamming: Int = 3): DataFrame = {
     // the signature table feeds both join sides — materialize once
-    val s = sigs.localCheckpoint()
+    val s = materialize(sigs)
     val bands = s.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), 16 * b).bitwiseAND(0xFFFFL)): _*)))
@@ -372,9 +413,8 @@ object SimOps {
                          planes: Int = 8, radius: Int = 1,
                          maxBucket: Int = 200): DataFrame = {
     val nrm = sqrt(FloatVecDot.dot(col(vecCol), col(vecCol)))
-    val index = vecs.select(col(idCol), col(vecCol), nrm.as("_nrm"))
-      .join(hyperplaneSignatures(vecs, idCol, vecCol, planes), idCol)
-      .localCheckpoint()
+    val index = materialize(vecs.select(col(idCol), col(vecCol), nrm.as("_nrm"))
+      .join(hyperplaneSignatures(vecs, idCol, vecCol, planes), idCol))
     val bounded = capIndexBuckets(index, maxBucket)
     val masks = probeMasks(planes, radius)
     val probes = index.select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
@@ -401,9 +441,8 @@ object SimOps {
     val nrm = sqrt(FloatVecDot.dot(col(vecCol), col(vecCol)))
     // the index feeds both the probe side and the candidate side — materialize
     // once instead of re-deriving signatures per branch
-    val index = vecs.select(col(idCol), col(vecCol), nrm.as("_nrm"))
-      .join(hyperplaneSignatures(vecs, idCol, vecCol, planes), idCol)
-      .localCheckpoint()
+    val index = materialize(vecs.select(col(idCol), col(vecCol), nrm.as("_nrm"))
+      .join(hyperplaneSignatures(vecs, idCol, vecCol, planes), idCol))
     val bounded = capIndexBuckets(index, maxBucket)
     val masks = probeMasks(planes, radius)
     val probes = index.select(col(idCol).as("_qid"), col(vecCol).as("_qv"),

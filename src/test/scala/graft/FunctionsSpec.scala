@@ -271,6 +271,24 @@ class FunctionsSpec extends SparkSpec {
     assert(got === Set((100L, 101L)))
   }
 
+  test("materialization strategy (localCheckpoint vs persist) never changes results") {
+    // the fault-tolerance knob must be semantics-free: identical near-dup
+    // pairs under both strategies (cluster deployments set persist)
+    def run(): Set[(Long, Long, Double)] =
+      SimOps.neardupPairs(docs, "doc_id", "text", shingleN = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dflt = run()
+    spark.conf.set("spark.graft.sim.materialize", "persist")
+    try {
+      spark.catalog.clearCache()
+      assert(run() === dflt)
+    } finally {
+      spark.conf.unset("spark.graft.sim.materialize")
+      spark.catalog.clearCache()
+    }
+    assert(dflt.nonEmpty)
+  }
+
   test("planesFor grows the bucket space with the corpus") {
     assert(SimOps.planesFor(1000) === 8)            // floor: 256 buckets minimum
     assert(SimOps.planesFor(1000000) === 14)        // 1M/64 ≈ 2^14
