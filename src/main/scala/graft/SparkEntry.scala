@@ -301,6 +301,20 @@ object SparkEntry {
         .select(col("right_id").as("doc_id")).distinct()
       t(s, d, "documents").join(dropped, Seq("doc_id"), "left_anti").select("doc_id")
     }),
+    "q_neardup_incr" -> ((s, d) => {
+      // INCREMENTAL near-dup: a new microbatch (doc_id % 10 == 0 stands in for
+      // the arriving batch) finds its near-dups against the already-ingested
+      // corpus via the persisted-index join shape (batch bands ⋈ index bands,
+      // index side bucket-capped) — never re-pairing the corpus against itself
+      val docs = t(s, d, "documents")
+      SimOps.incrementalNeardupPairs(
+          batch = docs.filter(col("doc_id") % 10 === 0),
+          indexDocs = docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", shingleN = 2, k = 32, bands = 8, rowsPerBand = 4,
+          maxBucket = 200)
+        .select(col("new_id"), col("old_id"), round(col("jaccard"), 4).as("jac"))
+        .filter(col("jac") >= 0.05)
+    }),
     "q_rolling_fp" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextOps.rollingFingerprint(col("text")).as("rfp"))),
@@ -549,6 +563,26 @@ object SparkEntry {
           SELECT doc_id FROM documents
           WHERE NOT EXISTS (SELECT 1 FROM jac
                             WHERE jaccard >= 0.5 AND jac.right_id = documents.doc_id)""",
+    "q_neardup_incr" ->
+      s"""WITH ${lshCtesSql(shingleN = 2, suffix = "_i", where = "doc_id % 10 <> 0")},
+          ${lshCtesSql(shingleN = 2, suffix = "_b", where = "doc_id % 10 = 0")},
+          counts AS (SELECT band, bucket, count(*) AS n FROM bands_i
+                     GROUP BY band, bucket),
+          bb AS (SELECT b.doc_id, b.band, b.bucket FROM bands_i b
+                 JOIN counts c ON b.band = c.band AND b.bucket = c.bucket
+                 WHERE c.n <= 200),
+          pairs AS (SELECT DISTINCT nb.doc_id AS new_id, bb.doc_id AS old_id
+                    FROM bands_b nb JOIN bb
+                      ON nb.band = bb.band AND nb.bucket = bb.bucket),
+          jac AS (SELECT new_id, old_id,
+                         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                           / greatest(len(sa.sh) + len(sb.sh)
+                                      - len(list_intersect(sa.sh, sb.sh)), 1) AS jaccard
+                  FROM pairs
+                  JOIN sharr_b sa ON sa.doc_id = new_id
+                  JOIN sharr_i sb ON sb.doc_id = old_id)
+          SELECT new_id, old_id, round(jaccard, 4) AS jac
+          FROM jac WHERE round(jaccard, 4) >= 0.05""",
     "q_rolling_fp" ->
       s"""SELECT doc_id,
                  list_reduce(
@@ -573,7 +607,8 @@ object SparkEntry {
     * SimOps.{wordShingles, minhashSignatures, bandBuckets} with k=32, 8 bands
     * of 4 rows. */
   private def lshCtesSql(shingleN: Int, k: Int = 32, bands: Int = 8,
-                         rowsPerBand: Int = 4): String = {
+                         rowsPerBand: Int = 4, suffix: String = "",
+                         where: String = ""): String = {
     val sigCols = (0 until k).map(i =>
       s"min((h0 * ${SimOps.hashA(i)} + ${SimOps.hashB(i)}) % ${SimOps.M31}) AS m$i")
       .mkString(", ")
@@ -582,19 +617,20 @@ object SparkEntry {
       val ms = (0 until rowsPerBand).map(r => s"m${b * rowsPerBand + r}").mkString(", ',', ")
       PortableHash.md5LongSql(s"concat('$b', ',', $ms)")
     }.mkString(", ")
-    s"""tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
-               FROM documents),
-        sharr AS (SELECT doc_id, list_distinct(list_transform(
+    val pred = if (where.isEmpty) "" else s"WHERE $where"
+    s"""tk$suffix AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+               FROM documents $pred),
+        sharr$suffix AS (SELECT doc_id, list_distinct(list_transform(
                     range(0, greatest(len(tk) - $shingleN, 0) + 1),
                     i -> array_to_string(list_slice(tk, i + 1, i + $shingleN), ' '))) AS sh
-                  FROM tk
+                  FROM tk$suffix
                   WHERE len(tk) > 0),
-        h AS (SELECT doc_id, ${PortableHash.md5LongSql("s")} % ${SimOps.M31} AS h0
-              FROM (SELECT doc_id, unnest(sh) AS s FROM sharr)),
-        sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
-        bands AS (SELECT doc_id, unnest([$bandIdx]) AS band,
+        h$suffix AS (SELECT doc_id, ${PortableHash.md5LongSql("s")} % ${SimOps.M31} AS h0
+              FROM (SELECT doc_id, unnest(sh) AS s FROM sharr$suffix)),
+        sig$suffix AS (SELECT doc_id, $sigCols FROM h$suffix GROUP BY doc_id),
+        bands$suffix AS (SELECT doc_id, unnest([$bandIdx]) AS band,
                          unnest([$bandExprs]) AS bucket
-                  FROM sig)"""
+                  FROM sig$suffix)"""
   }
 
   /** CTEs on top of [[lshCtesSql]]: bucket-size cap (200), distinct candidate

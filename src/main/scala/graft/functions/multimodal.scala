@@ -11,11 +11,12 @@ import org.apache.spark.sql.types._
   *
   * The Spark side — schemas, partition-parallel batch processing, column
   * contracts — is real and tested. The codec layer is split:
-  *  - BMP images and RIFF/WAVE audio are decoded FOR REAL by [[parseBmp]] /
-  *    [[parseWav]] (pure-JVM header parsing, no external libraries);
-  *  - other formats fall back to [[decodeStub]], a deterministic fake (this
-  *    container ships no jpeg/ffmpeg libraries; swap the stub for a JNI/library
-  *    call in production — the per-partition init point is already in place).
+  *  - PNG, JPEG, and BMP images and RIFF/WAVE audio are decoded FOR REAL by
+  *    [[parsePng]] / [[parseJpeg]] / [[parseBmp]] / [[parseWav]] (pure-JVM
+  *    header parsing, no external libraries);
+  *  - video containers fall back to [[decodeStub]], a deterministic fake (this
+  *    container ships no ffmpeg; swap the stub for a JNI/library call in
+  *    production — the per-partition init point is already in place).
   * In PySpark the same shape is `mapInPandas` over Arrow record batches; the
   * Scala analog used here is `mapPartitions` over an explicit Row encoder — one
   * codec init per PARTITION, never per row, which is the part that matters at
@@ -37,6 +38,11 @@ object Multimodal {
       ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
   private def le16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+  private def be16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
 
   /** Real BMP header decode: 'BM' magic, int32-LE width at offset 18, height at
     * 22 (negative height = top-down row order → absolute value). Returns
@@ -57,8 +63,49 @@ object Multimodal {
       Some((le32(bytes, 24), le16(bytes, 22)))
     else None
 
+  /** Real PNG header decode: 8-byte signature (\x89 P N G \r \n \x1a \n), then
+    * the mandatory IHDR chunk — width as int32 BE at offset 16, height at 20.
+    * Returns (width, height) or None if the payload is not a PNG. */
+  def parsePng(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes.length >= 24 &&
+        (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
+        bytes(3) == 'G' && bytes(4) == 0x0D && bytes(5) == 0x0A &&
+        bytes(6) == 0x1A && bytes(7) == 0x0A &&
+        bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')
+      Some((be32(bytes, 16), be32(bytes, 20)))
+    else None
+
+  /** Real JPEG SOF decode: SOI marker (FFD8), then walk the marker segments
+    * (each FF-type + int16-BE length) until a Start-Of-Frame marker (C0-CF
+    * excluding C4/C8/CC, which are huffman/arithmetic/extension markers) —
+    * its payload carries precision(1), height (int16 BE), width (int16 BE).
+    * Returns (width, height) or None if not a JPEG / no SOF found. */
+  def parseJpeg(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8)
+      return None
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if ((bytes(i) & 0xFF) != 0xFF) return None // marker desync: not a JPEG stream
+      val m = bytes(i + 1) & 0xFF
+      if (m == 0xFF) { i += 1 } // fill byte
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) { i += 2 } // standalone markers
+      else {
+        val len = be16(bytes, i + 2)
+        if (len < 2) return None
+        val isSof = m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+        if (isSof) {
+          if (i + 9 >= bytes.length) return None
+          return Some((be16(bytes, i + 7), be16(bytes, i + 5)))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
   /** STUB decoder — deterministic pseudo-decode for formats without a real
-    * parser above. Replace with a real codec (libjpeg/ffmpeg) in production. */
+    * parser above (now only VIDEO containers). Replace with a real codec
+    * (ffmpeg) in production. */
   private[functions] def decodeStub(bytes: Array[Byte], mediaType: String)
       : (Int, Int, Int, Array[Float]) = {
     def h(seed: Long): Long = {
@@ -90,8 +137,9 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           val mt = r.getString(2)
           val (w, h, f, feat) = decodeStub(bytes, mt)
-          val media = (parseBmp(bytes), parseWav(bytes)) match {
-            case (Some((bw, bh)), _) => Row(mt, bw, bh, 1, null, null, feat.toSeq)
+          val image = parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseBmp(bytes))
+          val media = (image, parseWav(bytes)) match {
+            case (Some((iw, ih)), _) => Row(mt, iw, ih, 1, null, null, feat.toSeq)
             case (_, Some((rate, ch))) => Row(mt, null, null, 1, rate, ch, feat.toSeq)
             case _ => Row(mt, w, h, f, null, null, feat.toSeq)
           }

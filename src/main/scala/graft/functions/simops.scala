@@ -254,6 +254,77 @@ object SimOps {
     verifiedPairsFromRows(rows, pairs, idCol)
   }
 
+  // ── incremental near-dup (batch vs persisted index) ───────────────────────
+
+  /** The three relational tables a persistable near-dup index consists of:
+    * `bands` (id, band, bucket), `shingles` (id, _s — distinct 64-bit shingle
+    * hashes), `sizes` (id, _sz — distinct-shingle count). Together they let a
+    * NEW microbatch find its near-dups against an already-ingested corpus
+    * WITHOUT re-shingling it — the missing piece between the corpus-at-rest
+    * dedup family and this engine's incremental CDC ingest. */
+  final case class NeardupIndexTables(bands: DataFrame, shingles: DataFrame,
+                                      sizes: DataFrame)
+
+  /** Derive the index tables for a document set (one shingle pass). */
+  def neardupIndexTables(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                         rowsPerBand: Int = 4): NeardupIndexTables = {
+    val rows = materialize(shingleRows(docs, idCol, textCol, shingleN))
+    val bb = bandBuckets(minhashSignaturesFromRows(rows, idCol, k),
+      idCol, bands, rowsPerBand)
+    val dist = rows.dropDuplicates(idCol, "_sh")
+      .select(col(idCol), xxhash64(col("_sh")).as("_s"))
+    val sizes = dist.groupBy(idCol).agg(count(lit(1)).as("_sz"))
+    NeardupIndexTables(bb, dist, sizes)
+  }
+
+  /** Near-dup pairs of a NEW batch against an EXISTING index: the batch's band
+    * buckets equi-join the index's (bucket-capped on the INDEX side — the side
+    * that grows with the corpus), candidates verify with exact jaccard across
+    * the two shingle-hash tables. Returns (new_id, old_id, jaccard) for every
+    * candidate sharing ≥1 shingle. The batch should additionally self-dedup
+    * via [[neardupPairs]]; ids on the two sides are assumed DISJOINT (an id
+    * present in both would pair with itself at jaccard 1). */
+  def incrementalPairsAgainst(idx: NeardupIndexTables, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                              rowsPerBand: Int = 4,
+                              maxBucket: Int = 200): DataFrame = {
+    val b = neardupIndexTables(batch, idCol, textCol, shingleN, k, bands, rowsPerBand)
+    val idxBands = materialize(idx.bands)
+    val bucketSizes = idxBands.groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
+    val bounded = idxBands.join(
+      bucketSizes.filter(col("_n") <= maxBucket).drop("_n"), Seq("band", "bucket"))
+    val pairs = b.bands.select(col(idCol).as("new_id"), col("band"), col("bucket"))
+      .join(bounded.select(col(idCol).as("old_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("new_id", "old_id").distinct()
+    val common = pairs
+      .join(b.shingles.select(col(idCol).as("new_id"), col("_s")), "new_id")
+      .join(idx.shingles.select(col(idCol).as("_oid"), col("_s").as("_s2")),
+        col("old_id") === col("_oid") && col("_s") === col("_s2"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("_common"))
+    common
+      .join(b.sizes.select(col(idCol).as("new_id"), col("_sz").as("_sza")), "new_id")
+      .join(idx.sizes.select(col(idCol).as("old_id"), col("_sz").as("_szb")), "old_id")
+      .select(col("new_id"), col("old_id"),
+        (col("_common").cast("double") /
+          greatest(col("_sza") + col("_szb") - col("_common"), lit(1)).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** Convenience form deriving the index tables from the index DOCUMENTS
+    * in-flight (the lake-persisted path loads them instead — see
+    * operators.NeardupIndex). */
+  def incrementalNeardupPairs(batch: DataFrame, indexDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                              rowsPerBand: Int = 4,
+                              maxBucket: Int = 200): DataFrame =
+    incrementalPairsAgainst(
+      neardupIndexTables(indexDocs, idCol, textCol, shingleN, k, bands, rowsPerBand),
+      batch, idCol, textCol, shingleN, k, bands, rowsPerBand, maxBucket)
+
   // ── SimHash ────────────────────────────────────────────────────────────────
 
   /** 64-bit SimHash, relational form: one row per id with a `simhash` column;

@@ -208,11 +208,15 @@ final class LakeTable(val spark: SparkSession, val dir: String,
           .foreach { case (f, i) =>
             val name = f"data/e${version}_b${bucket}_$i%05d.parquet"
             io.move(f, s"$dir/$name")
-            entries += FileEntry(name, bucket, schemaId, parquetRows(s"$dir/$name"))
+            entries += FileEntry(name, bucket, schemaId, -1L)
           }
       }
     io.deleteRecursively(tmp)
-    entries.toList
+    // footer reads run CONCURRENTLY (one small metadata read per file): done
+    // serially they would add O(files) driver latency to every commit — a
+    // fixed per-epoch cost that taxes high-parallelism replay epochs hardest
+    import scala.collection.parallel.CollectionConverters._
+    entries.toList.par.map(e => e.copy(rows = parquetRows(s"$dir/${e.path}"))).toList
   }
 
   /** Physical row count from the parquet footer (one small metadata read per

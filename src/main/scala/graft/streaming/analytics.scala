@@ -11,8 +11,14 @@ final case class SessionEvent(conv_id: String, ts: java.sql.Timestamp)
 final case class Session(conv_id: String, session_start: java.sql.Timestamp,
                          session_end: java.sql.Timestamp, n_events: Long)
 
-/** Carried sessionizer state for one conversation. */
+/** One session interval (open or gap-closed-but-unemitted). */
 final case class SessState(startMs: Long, lastMs: Long, n: Long)
+
+/** Carried sessionizer state for one conversation: every session that the
+  * WATERMARK has not yet sealed — both gap-closed ones awaiting emission and
+  * the trailing open one (kept unified: a late event can extend or bridge any
+  * of them until the watermark passes its end + gap). */
+final case class SessCarry(sessions: Seq[SessState])
 
 /** Streaming analytics over the change stream (SURVEY §2.9 extensions):
   * watermarked windowed aggregation and gap-based sessionization with CUSTOM
@@ -37,7 +43,8 @@ object StreamAnalytics {
 
   /** Pure sessionization core: carried state + this batch's event times (ms) →
     * (closed sessions as (start, end, n), new open state). Deterministic:
-    * events are processed in ascending time order. */
+    * events are processed in ascending time order; an out-of-order time that
+    * still merges extends the session start backward (math.min). */
   def fold(times: Seq[Long], gapMs: Long, carried: Option[SessState])
       : (Seq[SessState], Option[SessState]) = {
     var cur = carried
@@ -45,7 +52,7 @@ object StreamAnalytics {
     times.sorted.foreach { t =>
       cur match {
         case Some(s) if t - s.lastMs <= gapMs =>
-          cur = Some(SessState(s.startMs, math.max(s.lastMs, t), s.n + 1))
+          cur = Some(SessState(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
         case Some(s) =>
           closed += s
           cur = Some(SessState(t, t, 1))
@@ -56,33 +63,55 @@ object StreamAnalytics {
     (closed.result(), cur)
   }
 
+  /** Merge session intervals + new event times under the gap rule: sorted by
+    * start, two intervals closer than `gapMs` fuse (a late event can BRIDGE
+    * two previously separate sessions, so this is general interval merging,
+    * not an append-only fold). */
+  def mergeSessions(carried: Seq[SessState], times: Seq[Long],
+                    gapMs: Long): Seq[SessState] = {
+    val all = (carried ++ times.map(t => SessState(t, t, 1))).sortBy(s => (s.startMs, s.lastMs))
+    all.foldLeft(Vector.empty[SessState]) { (acc, s) =>
+      acc.lastOption match {
+        case Some(p) if s.startMs - p.lastMs <= gapMs =>
+          acc.init :+ SessState(p.startMs, math.max(p.lastMs, s.lastMs), p.n + s.n)
+        case _ => acc :+ s
+      }
+    }
+  }
+
   private def toSession(key: String, s: SessState): Session =
     Session(key, new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.lastMs), s.n)
 
-  /** Streaming sessionizer: one state struct per live conversation, sessions
-    * emitted when the gap closes them mid-batch or when the event-time timeout
-    * fires (watermark passed session_end + gap). Append-mode output. */
+  /** Streaming sessionizer: one small state struct per live conversation.
+    * Sessions are emitted ONLY once the event-time watermark has passed
+    * `session_end + gap` — a gap-closed session stays in state until then,
+    * because a late event still inside the watermark may extend it (or bridge
+    * it with a neighbor); emitting at gap-close time would let that late event
+    * seed a spurious overlapping session. Append-mode output; emission order
+    * per conversation is by session start. */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
                  watermark: String = "30 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.conv_id)
-      .flatMapGroupsWithState[SessState, Session](
+      .flatMapGroupsWithState[SessCarry, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (key: String, rows: Iterator[SessionEvent], state: GroupState[SessState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(toSession(key, s))
-          } else {
-            val (closed, open) = fold(rows.map(_.ts.getTime).toSeq, gapMs, state.getOption)
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
-            }
-            closed.iterator.map(toSession(key, _))
+        (key: String, rows: Iterator[SessionEvent], state: GroupState[SessCarry]) =>
+          val carried = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val merged = mergeSessions(carried, rows.map(_.ts.getTime).toSeq, gapMs)
+          // a session is sealed once NO admissible event (ts >= watermark, the
+          // pre-filter guarantee) can merge with it: watermark > lastMs + gap
+          val wm = state.getCurrentWatermarkMs()
+          val (done, live) = merged.partition(s => wm > s.lastMs + gapMs)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(SessCarry(live))
+            // fire when the watermark passes the EARLIEST live session's seal
+            // point (clamped: Spark requires the timeout to exceed the watermark)
+            state.setTimeoutTimestamp(math.max(live.map(_.lastMs).min + gapMs, wm + 1))
           }
+          done.sortBy(_.startMs).iterator.map(toSession(key, _))
       }
   }
 

@@ -361,6 +361,43 @@ class FunctionsSpec extends SparkSpec {
     assert(!out(3).isNullAt(1) && out(3).isNullAt(3)) // stub fills dims, not rate
   }
 
+  test("multimodal: real PNG and JPEG headers decode to true dimensions") {
+    // canonical byte fixtures built by hand — no image libraries involved
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](24)
+      Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).zipWithIndex
+        .foreach { case (v, i) => b(i) = v.toByte }
+      b(11) = 13 // IHDR length (BE32 = 0,0,0,13)
+      "IHDR".getBytes.copyToArray(b, 12)
+      for (i <- 0 until 4) { b(16 + i) = ((w >> (8 * (3 - i))) & 0xFF).toByte }
+      for (i <- 0 until 4) { b(20 + i) = ((h >> (8 * (3 - i))) & 0xFF).toByte }
+      b
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      // SOI, APP0 segment (JFIF-ish, length 16), then SOF0 with dims
+      val app0 = Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 16) ++ new Array[Byte](14)
+      val sof = Array[Byte](0xFF.toByte, 0xC0.toByte, 0, 11, 8,
+        ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
+        ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte, 1, 0x11)
+      Array[Byte](0xFF.toByte, 0xD8.toByte) ++ app0 ++ sof
+    }
+    assert(Multimodal.parsePng(png(1920, 1080)) === Some((1920, 1080)))
+    assert(Multimodal.parseJpeg(jpeg(4032, 3024)) === Some((4032, 3024)))
+    assert(Multimodal.parsePng(jpeg(10, 10)) === None)
+    assert(Multimodal.parseJpeg(png(10, 10)) === None)
+    assert(Multimodal.parseJpeg("not jpeg at all".getBytes) === None)
+    // and through the partition-parallel decode operator
+    val media = Seq(
+      (1L, png(800, 600), "image"),
+      (2L, jpeg(640, 480), "image")
+    ).toDF("id", "payload", "media_type")
+    val out = Multimodal.decodeAndFeaturize(media, "id", "payload", "media_type")
+      .select(col("id"), col("media.width"), col("media.height"))
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) === 800 && out(0).getInt(2) === 600)
+    assert(out(1).getInt(1) === 640 && out(1).getInt(2) === 480)
+  }
+
   test("multimodal: decode/featurize plumbing is deterministic and partition-safe") {
     val media = Seq(
       (1L, "fake-jpeg-bytes-aaaa".getBytes, "image"),

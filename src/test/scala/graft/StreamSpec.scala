@@ -102,15 +102,19 @@ class StreamSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("sess").count() === 0L) // still open — nothing emitted
       // batch 2: conv A resumes within the gap (cross-batch state continues the
-      // SAME session), then a far-future event closes it via the gap split
+      // SAME session), then a far-future event gap-closes it. With the
+      // 0-second watermark delay the watermark reaches 15:00 right after this
+      // batch, passing 10:30 + gap — so the sealed session emits (via the
+      // engine's follow-up timeout batch), and ONLY because the watermark
+      // passed, not because the gap closed (see the late-data spec below)
       ms.addData(SessionEvent("A", ts(10, 30)), SessionEvent("A", ts(15, 0)))
       q.processAllAvailable()
       val closed = spark.table("sess").as[Session].collect()
       assert(closed.length === 1)
       assert(closed(0).session_start === ts(10, 0) &&
         closed(0).session_end === ts(10, 30) && closed(0).n_events === 3L)
-      // batch 3: another conversation's late activity pushes the WATERMARK past
-      // 15:00 + gap, so conv A's trailing session closes by event-time timeout
+      // batch 3: watermark 20:00 > 15:00 + gap seals conv A's trailing session
+      // by event-time timeout (conv A receives no further data)
       ms.addData(SessionEvent("B", ts(20, 0)))
       q.processAllAvailable()
       ms.addData(SessionEvent("B", ts(20, 1))) // one more trigger to flush timeouts
@@ -118,6 +122,41 @@ class StreamSpec extends SparkSpec {
       val all = spark.table("sess").as[Session].collect()
       assert(all.exists(s => s.conv_id == "A" && s.session_start == ts(15, 0) &&
         s.n_events == 1L), s"timeout must close the trailing session: ${all.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("sessionizer late data: events inside the watermark extend, bridge, and backdate sessions") {
+    import spark.implicits._
+    val gapMs = 30 * 60 * 1000L
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent](
+      implicitly[org.apache.spark.sql.Encoder[SessionEvent]], spark)
+    // 2-hour watermark delay: late events up to 2h behind max-seen are admissible
+    val q = StreamAnalytics.sessionize(ms.toDS(), gapMs, watermark = "2 hours")
+      .writeStream.format("memory").queryName("sessl").outputMode("append").start()
+    def ts(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    try {
+      // batch 1: A at 10:10 and 12:00 — two gap-separated intervals, both live
+      // (watermark after this batch = 12:00 − 2h = 10:00)
+      ms.addData(SessionEvent("A", ts(10, 10)), SessionEvent("A", ts(12, 0)))
+      q.processAllAvailable()
+      // batch 2, all LATE but admissible (≥ the 10:00 watermark):
+      //   10:01 BACKDATES the first session's start (math.min),
+      //   10:30 extends its end,
+      //   11:00 + 11:30 BRIDGE the two intervals (every hop ≤ the 30-min gap)
+      //   into ONE session 10:01-12:00 — the round-2 sessionizer had already
+      //   emitted 10:10-10:10 at gap-close, so these events would have seeded
+      //   a spurious overlapping session
+      ms.addData(SessionEvent("A", ts(10, 1)), SessionEvent("A", ts(10, 30)),
+        SessionEvent("A", ts(11, 0)), SessionEvent("A", ts(11, 30)))
+      q.processAllAvailable()
+      assert(spark.table("sessl").count() === 0L) // watermark 10:00 < seal point
+      // batch 3: B far ahead pushes the watermark past 12:00 + gap → seal
+      ms.addData(SessionEvent("B", ts(23, 0)))
+      q.processAllAvailable()
+      val closed = spark.table("sessl").as[Session].collect()
+      assert(closed.length === 1, s"expected ONE bridged session: ${closed.mkString(",")}")
+      assert(closed(0).session_start === ts(10, 1) &&
+        closed(0).session_end === ts(12, 0) && closed(0).n_events === 6L)
     } finally q.stop()
   }
 
@@ -137,6 +176,41 @@ class StreamSpec extends SparkSpec {
         .otherwise(0L))
       .groupBy("conv_id").agg(sum("brk").as("n_sessions"), count(lit(1)).as("n_events"))
     assert(Oracle.diff(sessions, oracle).isEmpty)
+  }
+
+  test("incremental near-dup: microbatch loop over the persisted index equals full-corpus dedup") {
+    import graft.functions.SimOps
+    import graft.operators.NeardupIndex
+    // three arriving "microbatches" over the sf0.001 corpus (split by doc_id % 3);
+    // each batch (1) self-dedups, (2) joins the persisted index for cross-batch
+    // pairs, (3) appends itself to the index — the loop a CDC training-data
+    // pipeline runs per trigger. The union of all emitted pairs must equal the
+    // one-shot full-corpus near-dup (maxBucket large so caps cannot differ).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val cfg = NeardupIndex.Config(shingleN = 2, maxBucket = 1000000)
+    val dir = tmpDir("ndidx")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        val (x, y) = (r.getLong(0), r.getLong(1))
+        ((math.min(x, y), math.max(x, y)), BigDecimal(r.getDouble(2)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP))
+      }.toSet
+    var emitted = Set.empty[((Long, Long), BigDecimal)]
+    (0 until 3).foreach { i =>
+      val batch = docs.filter(col("doc_id") % 3 === i)
+      emitted ++= norm(SimOps.neardupPairs(batch, "doc_id", "text",
+        shingleN = 2, maxBucket = 1000000))
+      if (i > 0)
+        emitted ++= norm(NeardupIndex.batchPairs(spark, dir, batch, cfg))
+      if (i == 0) NeardupIndex.write(dir, batch, cfg)
+      else NeardupIndex.append(dir, batch, cfg)
+    }
+    val full = norm(SimOps.neardupPairs(docs, "doc_id", "text",
+      shingleN = 2, maxBucket = 1000000))
+    assert(emitted === full,
+      s"incremental != full: only-incr=${emitted -- full}, only-full=${full -- emitted}")
+    assert(full.nonEmpty)
   }
 
   test("crash orphans: data files written without a manifest commit are invisible and harmless") {
