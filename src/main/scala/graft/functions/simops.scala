@@ -481,13 +481,14 @@ object SimOps {
     * `filter(cos >= θ)` + keep-min-id anti-join — the embedding analog of
     * [[neardupPairs]]. */
   def cosineNeardupPairs(vecs: DataFrame, idCol: String, vecCol: String,
-                         planes: Int = 8, radius: Int = 1,
+                         planes: Int = -1, radius: Int = 1,
                          maxBucket: Int = 200): DataFrame = {
+    val p = if (planes > 0) planes else planesFor(vecs.count())
     val nrm = sqrt(FloatVecDot.dot(col(vecCol), col(vecCol)))
     val index = materialize(vecs.select(col(idCol), col(vecCol), nrm.as("_nrm"))
-      .join(hyperplaneSignatures(vecs, idCol, vecCol, planes), idCol))
+      .join(hyperplaneSignatures(vecs, idCol, vecCol, p), idCol))
     val bounded = capIndexBuckets(index, maxBucket)
-    val masks = probeMasks(planes, radius)
+    val masks = probeMasks(p, radius)
     val probes = index.select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
       col("_nrm").as("_qn"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("_pb"))
@@ -503,19 +504,24 @@ object SimOps {
         round(dot / (col("_qn") * col("_nrm")), 6).as("cos"))
   }
 
+  /** `planes = -1` (the default here and in [[cosineNeardupPairs]]) sizes the
+    * bucket space from the corpus via [[planesFor]] — one count() per call;
+    * pass an explicit value where the corpus size is known or pinned (the
+    * oracle queries pin 8 so the DuckDB mirror stays static). */
   def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
-              planes: Int = 8, k: Int = 3, radius: Int = 1,
+              planes: Int = -1, k: Int = 3, radius: Int = 1,
               maxBucket: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val p = if (planes > 0) planes else planesFor(vecs.count())
     // norms are computed ONCE per vector here, not per candidate pair — only
     // the dot product (one codegen'd FloatVecDot loop) runs per pair
     val nrm = sqrt(FloatVecDot.dot(col(vecCol), col(vecCol)))
     // the index feeds both the probe side and the candidate side — materialize
     // once instead of re-deriving signatures per branch
     val index = materialize(vecs.select(col(idCol), col(vecCol), nrm.as("_nrm"))
-      .join(hyperplaneSignatures(vecs, idCol, vecCol, planes), idCol))
+      .join(hyperplaneSignatures(vecs, idCol, vecCol, p), idCol))
     val bounded = capIndexBuckets(index, maxBucket)
-    val masks = probeMasks(planes, radius)
+    val masks = probeMasks(p, radius)
     val probes = index.select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
       col("_nrm").as("_qn"),
       explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("_pb"))

@@ -102,16 +102,27 @@ object Maintain {
   }
 
   /** Garbage-collect data files referenced by NO snapshot (crash orphans) or only by
-    * snapshots older than the latest `keepSnapshots`. Returns deleted file count. */
+    * snapshots older than the latest `keepSnapshots`, plus segment manifests
+    * (`seg_*.json`) those kept snapshots no longer reference — expired
+    * snapshots stay listed in history but their vacuumed segments read as
+    * empty. Returns deleted file count (data + segment manifests). */
   def vacuum(table: LakeTable, keepSnapshots: Int = 3): Int = {
     val history = LakeTable.history(table.dir, table.io)
-    val live = history.takeRight(keepSnapshots).flatMap(_.files.map(_.path)).toSet
-    val dataDir = s"${table.dir}/data"
-    if (!table.io.isDirectory(dataDir)) return 0
+    val kept = history.takeRight(keepSnapshots)
+    val live = kept.flatMap(_.files.map(_.path)).toSet
     var n = 0
-    table.io.listDir(dataDir).foreach { p =>
-      val rel = s"data/${p.split('/').last}"
-      if (!live.contains(rel)) { table.io.delete(p); n += 1 }
+    val dataDir = s"${table.dir}/data"
+    if (table.io.isDirectory(dataDir))
+      table.io.listDir(dataDir).foreach { p =>
+        val rel = s"data/${p.split('/').last}"
+        if (!live.contains(rel)) { table.io.delete(p); n += 1 }
+      }
+    val liveSegs = kept.flatMap(_.segments.toList.flatten.map(_.path)).toSet
+    table.io.listDir(s"${table.dir}/_manifests").foreach { p =>
+      val name = p.split('/').last
+      if (name.startsWith("seg_") && !liveSegs.contains(name)) {
+        table.io.delete(p); n += 1
+      }
     }
     n
   }

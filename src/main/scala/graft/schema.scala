@@ -99,6 +99,11 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
     extra.foreach { case (k, v) => b.config(k, v) }
+    // ops escape hatch: arbitrary session confs via SPARK_GRAFT_SPARK_CONF
+    // ("k=v;k=v"), e.g. a low manifest segmentThreshold for a CLI probe
+    sys.env.get("SPARK_GRAFT_SPARK_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+    })
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

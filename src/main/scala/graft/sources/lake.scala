@@ -109,12 +109,26 @@ class HadoopLakeIO(conf: org.apache.hadoop.conf.Configuration) extends LakeIO {
   * file-size statistic, not the table's live-row count). */
 final case class FileEntry(path: String, bucket: Int, schemaId: Int, rows: Long)
 
+/** Reference to one immutable SEGMENT manifest: the file list of one bucket
+  * range, stored as its own JSON (`_manifests/seg_v<ver>_<segId>.json`) and
+  * REUSED by later snapshots whose commits did not touch that range — the
+  * Iceberg manifest-list pattern that keeps commit IO O(touched ranges), not
+  * O(all files). */
+final case class SegmentRef(path: String, segId: Int)
+
 /** An immutable table snapshot, stored as one JSON manifest per version.
   *
   * `applied` maps streaming query-id → highest epoch already merged: the
   * exactly-once ledger. Reference analog: `UPLOAD_ID` stamped on every staged row and
   * passed to every merge procedure (reference dest/I2b2QueryResultsHandler.java:169-170, 516);
   * Iceberg analog: snapshot summary properties.
+  *
+  * Below [[LakeTable.DefaultSegmentThreshold]] files, `files` is inlined in the
+  * snapshot JSON (one read, simplest to debug). Above it, the snapshot JSON
+  * carries `segments` refs instead (files = Nil on disk) and the loader
+  * reconstitutes `files` from the segment manifests — in memory the two forms
+  * are identical, and `segments` stays populated so the next commit can reuse
+  * untouched segment files by reference.
   */
 final case class Snapshot(
     version: Long,
@@ -123,7 +137,8 @@ final case class Snapshot(
     schemas: Map[String, String], // schemaId (as string) -> StructType.json
     files: List[FileEntry],
     applied: Map[String, Long],
-    summary: Map[String, String]
+    summary: Map[String, String],
+    segments: Option[List[SegmentRef]] = None
 ) {
   def schema: StructType =
     DataType.fromJson(schemas(currentSchemaId.toString)).asInstanceOf[StructType]
@@ -152,10 +167,11 @@ final case class Snapshot(
   * Scale notes: `bucket = pmod(xxhash64(conv_id), numBuckets)` gives file-level
   * pruning for the MERGE (only buckets present in a batch are read/rewritten);
   * at 100 TB raise `numBuckets` (e.g. 4096) so a bucket rewrite fits an executor.
-  * Driver-side IO is abstracted behind [[LakeIO]]; see README "Commit path &
-  * object stores" for the manifest-segmentation migration plan (the manifest
-  * lists all files — O(files) — which is fine to ~10^5 files, after which
-  * Iceberg-style manifest lists per bucket range are the path).
+  * Driver-side IO is abstracted behind [[LakeIO]]. Manifests are two-level
+  * above [[LakeTable.DefaultSegmentThreshold]] files: the snapshot JSON refs
+  * per-bucket-range SEGMENT manifests and untouched ranges carry over by
+  * reference, keeping commit IO O(touched ranges), not O(files) — the
+  * Iceberg manifest-list pattern (see README "Commit path & object stores").
   */
 final class LakeTable(val spark: SparkSession, val dir: String,
                       val io: LakeIO = NioLakeIO) {
@@ -236,7 +252,10 @@ final class LakeTable(val spark: SparkSession, val dir: String,
 
   /** Atomically commit a new snapshot. `newNumBuckets` changes the table's
     * bucket count (rebucketing — every committed file must already be written
-    * under the new bucketing; see Maintain.rebucket). */
+    * under the new bucketing; see Maintain.rebucket). Above the segmentation
+    * threshold the file list is split into bucket-range SEGMENT manifests and
+    * untouched segments are carried by reference — commit IO stays O(touched
+    * ranges + segments), not O(files). */
   def commit(files: List[FileEntry], schemas: Map[String, String], currentSchemaId: Int,
              applied: Map[String, Long], summary: Map[String, String],
              newNumBuckets: Option[Int] = None): Snapshot = {
@@ -247,10 +266,12 @@ final class LakeTable(val spark: SparkSession, val dir: String,
       schemas = schemas,
       files = files,
       applied = applied,
-      summary = summary)
-    writeManifest(dir, next, io)
-    snap = next
-    next
+      summary = summary,
+      segments = None)
+    val threshold = spark.conf.getOption("spark.graft.manifest.segmentThreshold")
+      .map(_.toInt).getOrElse(LakeTable.DefaultSegmentThreshold)
+    snap = writeManifest(dir, next, io, prev = Some(snap), segmentThreshold = threshold)
+    snap
   }
 }
 
@@ -284,9 +305,72 @@ object LakeTable {
                    numBuckets: Int = 64, io: LakeIO = NioLakeIO): LakeTable =
     if (exists(dir, io)) load(spark, dir, io) else create(spark, dir, schema, numBuckets, io)
 
-  private[sources] def writeManifest(dir: String, snap: Snapshot, io: LakeIO): Unit =
-    io.writeStringAtomic(f"${manifestDir(dir)}/v${snap.version}%08d.json",
-      Serialization.write(snap))
+  /** Below this many files the file list inlines into the snapshot JSON; at or
+    * above it, commits write bucket-range segment manifests and reuse
+    * untouched ones by reference (override per session with
+    * `spark.graft.manifest.segmentThreshold`). 512 keeps small tables
+    * single-read while capping any one commit's manifest IO at roughly
+    * (files/64 + 64) JSON entries. */
+  val DefaultSegmentThreshold: Int = 512
+
+  /** Bucket-range segment count: 64 ranges (or one per bucket below 64). */
+  private def segCount(numBuckets: Int): Int = math.min(64, math.max(1, numBuckets))
+  private def segOf(bucket: Int, numBuckets: Int): Int =
+    bucket * segCount(numBuckets) / math.max(1, numBuckets)
+
+  /** Write a snapshot manifest; returns the snapshot AS LOADED (segments
+    * populated when segmented, full `files` either way) so the caller can keep
+    * it in memory for the next commit's segment reuse. Segment manifests are
+    * written BEFORE the snapshot rename (the commit point); a crash in between
+    * leaves orphan seg files that vacuum GCs. */
+  private[sources] def writeManifest(dir: String, snap: Snapshot, io: LakeIO,
+                                     prev: Option[Snapshot] = None,
+                                     segmentThreshold: Int = DefaultSegmentThreshold): Snapshot = {
+    val md = manifestDir(dir)
+    val enriched = if (snap.files.size < segmentThreshold) snap
+    else {
+      val grouped = snap.files.groupBy(f => segOf(f.bucket, snap.numBuckets))
+      // previous snapshot's per-segment composition — reusable only while the
+      // bucket count (and so the range partitioning) is unchanged
+      val prevSegs: Map[Int, (SegmentRef, Set[FileEntry])] = prev match {
+        case Some(p) if p.numBuckets == snap.numBuckets && p.segments.isDefined =>
+          val byId = p.files.groupBy(f => segOf(f.bucket, p.numBuckets))
+          p.segments.get.map(r => r.segId ->
+            ((r, byId.getOrElse(r.segId, Nil).toSet))).toMap
+        case _ => Map.empty
+      }
+      val refs = grouped.toList.sortBy(_._1).map { case (segId, fs) =>
+        prevSegs.get(segId) match {
+          case Some((ref, prevSet)) if prevSet == fs.toSet => ref
+          case _ =>
+            val name = f"seg_v${snap.version}%08d_$segId%04d.json"
+            io.writeStringAtomic(s"$md/$name", Serialization.write(fs.sortBy(_.path)))
+            SegmentRef(name, segId)
+        }
+      }
+      snap.copy(segments = Some(refs))
+    }
+    val onDisk = if (enriched.segments.isDefined) enriched.copy(files = Nil) else enriched
+    io.writeStringAtomic(f"$md/v${snap.version}%08d.json", Serialization.write(onDisk))
+    enriched
+  }
+
+  /** Reconstitute a snapshot's file list from its segment manifests. `strict`
+    * loads must find every segment; lenient loads (history over vacuumed
+    * snapshots) skip missing ones. */
+  private def reconstitute(dir: String, s: Snapshot, io: LakeIO,
+                           strict: Boolean): Snapshot = s.segments match {
+    case None => s
+    case Some(refs) =>
+      val md = manifestDir(dir)
+      val files = refs.flatMap { r =>
+        val p = s"$md/${r.path}"
+        if (io.exists(p)) Serialization.read[List[FileEntry]](io.readString(p))
+        else if (strict) throw new IllegalStateException(s"missing segment manifest $p")
+        else Nil
+      }
+      s.copy(files = files)
+  }
 
   private[sources] def loadLatest(dir: String, io: LakeIO = NioLakeIO): Option[Snapshot] = {
     val md = manifestDir(dir)
@@ -294,17 +378,20 @@ object LakeTable {
     io.listDir(md).map(baseName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .sorted.lastOption
-      .map(n => Serialization.read[Snapshot](io.readString(s"$md/$n")))
+      .map(n => reconstitute(dir,
+        Serialization.read[Snapshot](io.readString(s"$md/$n")), io, strict = true))
   }
 
-  /** All snapshots, oldest first (time travel / audit). */
+  /** All snapshots, oldest first (time travel / audit). Lenient on segment
+    * manifests vacuum already GC'd (expired snapshots list what remains). */
   def history(dir: String, io: LakeIO = NioLakeIO): Seq[Snapshot] = {
     val md = manifestDir(dir)
     if (!io.isDirectory(md)) return Nil
     io.listDir(md).map(baseName)
       .filter(n => n.startsWith("v") && n.endsWith(".json"))
       .sorted
-      .map(n => Serialization.read[Snapshot](io.readString(s"$md/$n")))
+      .map(n => reconstitute(dir,
+        Serialization.read[Snapshot](io.readString(s"$md/$n")), io, strict = false))
   }
 
   /** Cast/realign `df` to `to`: missing columns become typed nulls, common columns

@@ -95,6 +95,54 @@ class MaintainSpec extends SparkSpec {
     assert(t.physicalRows === stateAfter.size.toLong)
   }
 
+  test("segmented manifests: commits reuse untouched bucket-range segments by reference") {
+    // force segmentation at a tiny threshold so a ~100-file table exercises it
+    spark.conf.set("spark.graft.manifest.segmentThreshold", "4")
+    try {
+      val dir = tmpDir("seg")
+      val t = LakeTable.create(spark, dir, CdcMerge.physicalSchema(Schemas.transcript), 64)
+      val e0 = ChangeGen.events(spark, 3000L, numConvs = 60, maxTurns = 6, pDelete = 0.1)
+      CdcMerge.applyBatch(t, e0, 0L, "q")
+      val s1 = t.snapshot
+      assert(s1.segments.isDefined && s1.files.nonEmpty,
+        "snapshot must be segmented with files reconstituted in memory")
+      // the on-disk snapshot JSON must NOT inline the file list
+      val raw = org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(
+          f"$dir/_manifests/v${s1.version}%08d.json")))
+      assert((raw \ "files").children.isEmpty && (raw \ "segments").children.nonEmpty)
+      // a reload agrees with the in-memory view
+      val reloaded = LakeTable.load(spark, dir)
+      assert(reloaded.snapshot.files.toSet === s1.files.toSet)
+      assert(Oracle.diff(CdcMerge.state(reloaded), Oracle.expectedState(e0)).isEmpty)
+      // a one-conversation merge touches ≤ a few buckets: every untouched
+      // bucket range must carry the SAME segment ref (reused, not rewritten)
+      val e1 = ChangeGen.events(spark, 50L, numConvs = 1, maxTurns = 6,
+        pDelete = 0.0, seed = 7L, lsnStart = 9000L)
+      CdcMerge.applyBatch(t, e1, 1L, "q")
+      val s2 = t.snapshot
+      val refs1 = s1.segments.get.map(r => r.segId -> r.path).toMap
+      val refs2 = s2.segments.get.map(r => r.segId -> r.path).toMap
+      val changed = refs2.count { case (id, p) => refs1.get(id) match {
+        case Some(p1) => p1 != p
+        case None => true
+      }}
+      assert(changed >= 1 && changed <= 2,
+        s"a 1-conversation merge must rewrite at most its own ranges, rewrote $changed")
+      assert(refs2.exists { case (id, p) => refs1.get(id).contains(p) },
+        "untouched segments must be reused by reference")
+      assert(Oracle.diff(CdcMerge.state(t),
+        Oracle.expectedState(e0.unionByName(e1))).isEmpty)
+      // vacuum GCs segment manifests no kept snapshot references, state intact
+      Maintain.compact(t)
+      val before = CdcMerge.state(t).orderBy("conv_id", "turn_idx").collect().toSeq
+      val n = Maintain.vacuum(t, keepSnapshots = 1)
+      assert(n > 0)
+      assert(CdcMerge.state(LakeTable.load(spark, dir))
+        .orderBy("conv_id", "turn_idx").collect().toSeq === before)
+    } finally spark.conf.unset("spark.graft.manifest.segmentThreshold")
+  }
+
   test("vacuum removes crash orphans but never live files") {
     val (t, ev) = loaded("vac")
     // orphan: written but never committed
