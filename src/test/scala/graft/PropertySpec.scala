@@ -147,4 +147,30 @@ class PropertySpec extends SparkSpec {
       assert(expected.exists(p => p._1 == 0L && p._2 == 100L && p._3 == 0L)) // non-vacuous
     }
   }
+
+  test("property: sessionizer interval merge is batch-order-insensitive and equals the fold") {
+    import graft.streaming.StreamAnalytics.{fold, mergeSessions}
+    val gapMs = 1800L * 1000
+    val timesGen: Gen[List[Long]] = for {
+      n <- Gen.choose(1, 60)
+      ts <- Gen.listOfN(n, Gen.choose(0L, 48L * 3600 * 1000))
+    } yield ts.map(t => t / 1000 * 1000) // second granularity, duplicates allowed
+    (1 to 30).foreach { i =>
+      val times = timesGen.apply(Gen.Parameters.default, Seed(77L + i)).getOrElse(Nil)
+      // reference: the ascending fold over the COMPLETE set (batch semantics)
+      val (closed, open) = fold(times, gapMs, None)
+      val reference = (closed ++ open).map(s => (s.startMs, s.lastMs, s.n))
+      // mergeSessions over the complete set in ONE batch equals the fold
+      val oneShot = mergeSessions(Nil, times, gapMs).map(s => (s.startMs, s.lastMs, s.n))
+      assert(oneShot === reference, s"case $i one-shot")
+      // and over ANY batch split in ANY order — the late-data property: as long
+      // as no session was sealed in between, arrival order cannot matter
+      val shuffled = new scala.util.Random(i).shuffle(times)
+      val batches = shuffled.grouped(math.max(1, shuffled.size / 3)).toList
+      val incremental = batches.foldLeft(Seq.empty[graft.streaming.SessState]) {
+        (carried, b) => mergeSessions(carried, b, gapMs)
+      }.map(s => (s.startMs, s.lastMs, s.n))
+      assert(incremental === reference, s"case $i incremental ($batches)")
+    }
+  }
 }
