@@ -301,6 +301,24 @@ object SparkEntry {
         .select(col("right_id").as("doc_id")).distinct()
       t(s, d, "documents").join(dropped, Seq("doc_id"), "left_anti").select("doc_id")
     }),
+    "q_dedup_incr" -> ((s, d) => {
+      // INCREMENTAL exact dedup: flag each doc of the arriving batch that
+      // already exists (by content fingerprint) in the ingested corpus — a
+      // fingerprint left-join, the shuffle carrying 32 hex chars per distinct
+      // document (same scale rationale as q_dedup_exact; at rest the index
+      // side is the persisted fingerprint column, not a recomputation). The
+      // driver corpus has no cross-split dups at this SF, so the flag column
+      // is exercised structurally here and positively in FunctionsSpec.
+      val docs = t(s, d, "documents")
+      docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+        .join(docs.filter(col("doc_id") % 10 =!= 0)
+            .select(md5(col("text").cast("binary")).as("fp"), lit(true).as("_hit"))
+            .distinct(),
+          Seq("fp"), "left_outer")
+        .select(col("doc_id"), col("fp"),
+          coalesce(col("_hit"), lit(false)).as("already_ingested"))
+    }),
     "q_neardup_incr" -> ((s, d) => {
       // INCREMENTAL near-dup: a new microbatch (doc_id % 10 == 0 stands in for
       // the arriving batch) finds its near-dups against the already-ingested
@@ -563,6 +581,13 @@ object SparkEntry {
           SELECT doc_id FROM documents
           WHERE NOT EXISTS (SELECT 1 FROM jac
                             WHERE jaccard >= 0.5 AND jac.right_id = documents.doc_id)""",
+    "q_dedup_incr" ->
+      """SELECT b.doc_id, md5(b.text) AS fp,
+                EXISTS (SELECT 1 FROM documents i
+                        WHERE i.doc_id % 10 <> 0 AND md5(i.text) = md5(b.text))
+                  AS already_ingested
+         FROM documents b
+         WHERE b.doc_id % 10 = 0""",
     "q_neardup_incr" ->
       s"""WITH ${lshCtesSql(shingleN = 2, suffix = "_i", where = "doc_id % 10 <> 0")},
           ${lshCtesSql(shingleN = 2, suffix = "_b", where = "doc_id % 10 = 0")},

@@ -165,6 +165,21 @@ class FunctionsSpec extends SparkSpec {
     assert(dropped.contains(4L) && !dropped.contains(1L)) // min-id survives
   }
 
+  test("incremental exact dedup flags batch docs whose fingerprint is already ingested") {
+    // the q_dedup_incr shape with a corpus that HAS a cross-boundary dup
+    // (the driver corpus has none at gate SF — the true-positive path lives here)
+    val ingested = Seq((1L, "already seen text"), (2L, "other ingested text"))
+      .toDF("doc_id", "text")
+      .select(md5(col("text").cast("binary")).as("fp"), lit(true).as("_hit")).distinct()
+    val batch = Seq((10L, "already seen text"), (20L, "brand new text"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val out = batch.join(ingested, Seq("fp"), "left_outer")
+      .select(col("doc_id"), coalesce(col("_hit"), lit(false)).as("already_ingested"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out === Map(10L -> true, 20L -> false))
+  }
+
   test("fingerprint dedup groups exactly like text dedup (collision check)") {
     val d = docs // includes an exact dup pair (1, 4)
     val byText = d.groupBy("text").agg(min("doc_id").as("k"), count(lit(1)).as("c"))

@@ -64,6 +64,9 @@ class PlanSpec extends SparkSpec {
       s"near-dup must stay equi-join shaped:\n$nd")
     assert(!ann.contains("CartesianProduct"),
       s"ANN candidate join must be an equi-join on the probe bucket:\n$ann")
+    val incr = executedPlan(SparkEntry.queries("q_neardup_incr")(spark, sf))
+    assert(!incr.contains("CartesianProduct") && !incr.contains("BroadcastNestedLoop"),
+      s"incremental near-dup must stay equi-join shaped:\n$incr")
   }
 
   test("exact dedup hash-aggregates on the fingerprint, never sorting or shuffling raw text") {
