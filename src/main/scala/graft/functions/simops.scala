@@ -105,18 +105,21 @@ object SimOps {
     * deduplicated — minhash mins are duplicate-insensitive; use dropDuplicates
     * where true sets are needed. */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tk = filter(split(col(textCol), " "), t => length(t) > 0)
-    // token count is captured at explode time (2 cheap evaluations of the split
-    // per document) — NOT via a second count window over the exploded rows
-    val toks = docs.select(col(idCol), size(tk).as("_cnt"), posexplode(tk))
-      .withColumnsRenamed(Map("pos" -> "_pos", "col" -> "_tok"))
-    val wOrd = Window.partitionBy(idCol).orderBy("_pos")
-    toks
-      .withColumn("_sh",
-        concat_ws(" ", (0 until n).map(i => lead(col("_tok"), i).over(wOrd)): _*))
-      .filter(col("_pos") <= greatest(col("_cnt") - n, lit(0)))
-      .select(col(idCol), col("_sh"))
+    // Tokens are MATERIALIZED before the shingle lambda: the cache boundary
+    // stops CollapseProject from inlining the split into every lambda element
+    // (the O(tokens²)-per-document trap — interpreted split per shingle,
+    // measured 15× slower). With `_tk` a plain cached column, the transform is
+    // O(shingles × n) array slicing, fully map-side — NO shuffle. The window-
+    // lead alternative (round 1-2) built each shingle exactly once too, but
+    // paid a token-level hashpartition + per-doc sort of the whole corpus:
+    // the one shape that cannot survive 100 TB.
+    val toks = materialize(docs
+      .select(col(idCol),
+        filter(split(col(textCol), " "), t => length(t) > 0).as("_tk"))
+      .filter(size(col("_tk")) > 0))
+    toks.select(col(idCol), explode(transform(
+      sequence(lit(0), greatest(size(col("_tk")) - n, lit(0))),
+      i => concat_ws(" ", slice(col("_tk"), i + 1, lit(n))))).as("_sh"))
   }
 
   /** Jaccard similarity of two distinct-element arrays
