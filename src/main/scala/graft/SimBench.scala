@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimOps
+
+/** Dev benchmark for the near-dup pipeline's scaling shape: times
+  * `SimOps.neardupPairs` end-to-end (count action) on the sf0.1 corpus and on
+  * a 10× replica corpus (10 deterministic near-dup variants per document —
+  * replica r appends r marker tokens, so intra-family jaccard stays high and
+  * the LSH banding has real work). Prints one line per corpus:
+  * `SIM n=<docs> wall=<s> pairs=<verified>` (best-of-k in one JVM; per-run
+  * clearCache so materialized fragments never masquerade as plan speed).
+  *
+  * Usage: run_graft.sh graft.SimBench [repeats]
+  */
+object SimBench {
+  def main(args: Array[String]): Unit = {
+    val repeats = args.headOption.map(_.toInt).getOrElse(2)
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val docs = spark.read
+      .parquet(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1") +
+        "/documents.parquet")
+      .select("doc_id", "text")
+    val replicas = docs.crossJoin(spark.range(10).select(col("id").as("_r")))
+      .select((col("doc_id") * 10 + col("_r")).as("doc_id"),
+        concat_ws(" ", col("text"),
+          concat_ws(" ", (1 to 9).map(i =>
+            when(col("_r") >= i, concat(lit(s"marker$i"), col("doc_id")))): _*))
+          .as("text"))
+    Seq(docs, replicas).foreach { d =>
+      val n = d.count()
+      val runs = (1 to repeats).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val pairs = SimOps.neardupPairs(d, "doc_id", "text", shingleN = 2)
+          .filter(col("jaccard") >= 0.5).count()
+        ((System.nanoTime() - t0) / 1e9, pairs)
+      }
+      println(f"SIM n=$n wall=${runs.map(_._1).min}%.2f pairs=${runs.head._2}")
+    }
+    spark.stop()
+  }
+}
