@@ -232,17 +232,18 @@ final class LakeTable(val spark: SparkSession, val dir: String,
     // serially they would add O(files) driver latency to every commit — a
     // fixed per-epoch cost that taxes high-parallelism replay epochs hardest
     import scala.collection.parallel.CollectionConverters._
-    entries.toList.par.map(e => e.copy(rows = parquetRows(s"$dir/${e.path}"))).toList
+    val conf = spark.sessionState.newHadoopConf() // once, outside the par loop
+    entries.toList.par.map(e => e.copy(rows = parquetRows(conf, s"$dir/${e.path}"))).toList
   }
 
   /** Physical row count from the parquet footer (one small metadata read per
     * committed file — the same stat Iceberg carries per data file; lets readers
     * size buckets and plan compaction without opening data pages). */
-  private def parquetRows(path: String): Long = {
+  private def parquetRows(conf: org.apache.hadoop.conf.Configuration,
+                          path: String): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path),
-      spark.sessionState.newHadoopConf())
+    val in = HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf)
     scala.util.Using.resource(ParquetFileReader.open(in))(_.getRecordCount)
   }
 
@@ -344,6 +345,11 @@ object LakeTable {
           case Some((ref, prevSet)) if prevSet == fs.toSet => ref
           case _ =>
             val name = f"seg_v${snap.version}%08d_$segId%04d.json"
+            // a file already at this name is a CRASH ORPHAN: its version was
+            // never committed (loadLatest would have returned it otherwise),
+            // so the retried commit may overwrite it — fail-if-exists is the
+            // SNAPSHOT manifest's contract (the commit point), not a segment's
+            io.delete(s"$md/$name")
             io.writeStringAtomic(s"$md/$name", Serialization.write(fs.sortBy(_.path)))
             SegmentRef(name, segId)
         }

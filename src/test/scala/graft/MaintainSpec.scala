@@ -133,6 +133,18 @@ class MaintainSpec extends SparkSpec {
         "untouched segments must be reused by reference")
       assert(Oracle.diff(CdcMerge.state(t),
         Oracle.expectedState(e0.unionByName(e1))).isEmpty)
+      // crash-retry: a segment file orphaned by a crash BETWEEN segment writes
+      // and the snapshot rename carries the next version's name; the retried
+      // commit must overwrite it, not wedge (only the snapshot manifest is the
+      // fail-if-exists commit point)
+      val nextV = t.snapshot.version + 1
+      val orphan = f"${t.dir}/_manifests/seg_v$nextV%08d_0000.json"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(orphan), "[]")
+      val e2 = ChangeGen.events(spark, 60L, numConvs = 60, maxTurns = 6,
+        pDelete = 0.0, seed = 11L, lsnStart = 20000L)
+      CdcMerge.applyBatch(t, e2, 2L, "q") // must not throw on the orphan
+      assert(Oracle.diff(CdcMerge.state(t),
+        Oracle.expectedState(e0.unionByName(e1).unionByName(e2))).isEmpty)
       // vacuum GCs segment manifests no kept snapshot references, state intact
       Maintain.compact(t)
       val before = CdcMerge.state(t).orderBy("conv_id", "turn_idx").collect().toSeq
