@@ -343,6 +343,14 @@ object SparkEntry {
           planes = 8, k = 3, maxBucket = 200)
         .select(col("vec_id"), col("rank").cast("long").as("rank"),
           col("nn_id"), col("cos"))),
+    "q_ann_ivf" -> ((s, d) =>
+      // IVF-Flat ANN: deterministic 16-centroid coarse quantizer, 2-probe
+      // search, exact-cosine top-3 within the probed inverted lists — the
+      // density-adaptive complement to hyperplane-LSH q_ann_lsh
+      SimOps.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          c = 16, nProbe = 2, k = 3)
+        .select(col("vec_id"), col("rank").cast("long").as("rank"),
+          col("nn_id"), col("cos"))),
     "q_embed_neardup" -> ((s, d) =>
       // embedding-cosine near-dup: LSH-bucketed candidate pairs (Hamming≤1
       // probe) with exact cosine ≥ threshold — the embedding analog of
@@ -617,6 +625,7 @@ object SparkEntry {
                    (acc, h) -> (acc * 31 + h) % ${TextOps.rollingFpModulus}) AS rfp
           FROM documents""",
     "q_ann_lsh" -> annLshOracleSql,
+    "q_ann_ivf" -> annIvfOracleSql,
     "q_embed_neardup" -> embedNeardupOracleSql
   )
 
@@ -755,6 +764,45 @@ object SparkEntry {
                 FROM idx0 JOIN bsz USING (bucket) WHERE bn <= $annMaxBucket),
         probes AS (SELECT vec_id AS q_id, embedding AS q_emb, xor(bucket, m) AS pb
                    FROM idx0, (SELECT unnest([$masks]) AS m) masks)"""
+  }
+
+  /** Rounded sequential-fold cosine between two list expressions (DuckDB
+    * list_reduce is left-to-right = Spark aggregate() = FloatVecDot's
+    * ascending-index loop, so the value is bit-identical across engines). */
+  private def cosSql(a: String, b: String): String = {
+    def fold(items: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $items), (s, v) -> s + v)"
+    val dot = fold(s"list_transform(range(len($a)), " +
+      s"i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))")
+    val na = s"sqrt(${fold(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
+    val nb = s"sqrt(${fold(s"list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
+    s"round(($dot) / (($na) * ($nb)), 6)"
+  }
+
+  /** SimOps.ivfTopK mirrored: 16 smallest-id centroids, rounded-cosine
+    * assignment/probe ranking with id tie-breaks, 2-probe exact-cosine top-3. */
+  private def annIvfOracleSql: String = {
+    val (c, nProbe, k) = (16, 2, 3)
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                      ORDER BY vec_id LIMIT $c),
+        scored AS (SELECT e.vec_id, e.embedding, c.cid,
+                          ${cosSql("e.embedding", "c.cv")} AS cc,
+                          row_number() OVER (PARTITION BY e.vec_id
+                                             ORDER BY ${cosSql("e.embedding", "c.cv")} DESC,
+                                                      c.cid) AS rn
+                   FROM embeddings e, cent c),
+        assign AS (SELECT vec_id, embedding, cid FROM scored WHERE rn = 1),
+        probes AS (SELECT vec_id AS qid, embedding AS q_emb, cid FROM scored
+                   WHERE rn <= $nProbe),
+        cands AS (SELECT p.qid, a.vec_id AS nn_id,
+                         ${cosSql("p.q_emb", "a.embedding")} AS cos
+                  FROM probes p JOIN assign a
+                    ON a.cid = p.cid AND a.vec_id <> p.qid),
+        ranked AS (SELECT qid AS vec_id, nn_id, cos,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY cos DESC, nn_id) AS rank
+                   FROM cands)
+        SELECT vec_id, rank, nn_id, cos FROM ranked WHERE rank <= $k"""
   }
 
   /** SimOps.annTopK mirrored over [[annCtesSql]]. */

@@ -432,6 +432,66 @@ object SimOps {
           .reduce(_ + _).as("bucket"))
   }
 
+  // ── IVF-Flat ANN ───────────────────────────────────────────────────────────
+
+  /** IVF-Flat approximate nearest neighbors: a coarse quantizer of `c`
+    * centroids partitions the corpus into inverted lists; each query ranks
+    * the centroids, probes its `nProbe` nearest lists, and brute-forces exact
+    * cosine within them — the classic FAISS IVF-Flat recall/cost trade
+    * (scanned fraction ≈ nProbe/c), complementary to hyperplane LSH
+    * ([[annTopK]]): IVF adapts to the data's density (lists follow the
+    * distribution) where LSH buckets are data-independent.
+    *
+    * Centroids are the `c` smallest-id vectors — DETERMINISTIC and
+    * oracle-mirrorable (k-means refinement is an offline job that would only
+    * move the centroid table; every plan shape below is unchanged). All
+    * ranking cosines are rounded to 6 decimals with id tie-breaks, so
+    * assignment and ranking are reproducible bit-for-bit across engines
+    * (dot products are ascending-index IEEE folds on both sides).
+    *
+    * Scale shape: the centroid table is a BROADCAST of `c` rows (the one
+    * sanctioned cross join — per-row work is c dot products, constant);
+    * assignment is an argmax aggregation; the probe join is an equi-join on
+    * the centroid id; candidates per query ≈ n·nProbe/c. Returns
+    * (idCol, rank, nn_id, cos). */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
+              c: Int = 16, nProbe: Int = 4, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nrm = sqrt(FloatVecDot.dot(col(vecCol), col(vecCol)))
+    val base = materialize(vecs.select(col(idCol), col(vecCol), nrm.as("_nrm")))
+    val centroids = broadcast(base
+      .orderBy(col(idCol)).limit(c)
+      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"), col("_nrm").as("_cn")))
+    // (vector × centroid) scores: rounded cosine, deterministic ties by _cid.
+    // The vector does NOT ride through the n×c cross (that would materialize
+    // c copies of the corpus); ranking needs only (id, cid, cc) — the ranked
+    // ids rejoin `base` for their vectors afterwards (one equi-join each)
+    val cc = round(FloatVecDot.dot(col(vecCol), col("_cv")) / (col("_nrm") * col("_cn")), 6)
+    val scored = materialize(base.crossJoin(centroids)
+      .select(col(idCol), col("_cid"), cc.as("_cc")))
+    val wAssign = Window.partitionBy(idCol).orderBy(col("_cc").desc, col("_cid"))
+    val assign = scored
+      .withColumn("_rn", row_number().over(wAssign))
+      .filter(col("_rn") === 1).select(col(idCol), col("_cid"))
+      .join(base, Seq(idCol))
+      .select(col(idCol), col(vecCol), col("_nrm"), col("_cid"))
+    val probes = scored
+      .withColumn("_rn", row_number().over(wAssign))
+      .filter(col("_rn") <= nProbe).select(col(idCol), col("_cid"))
+      .join(base, Seq(idCol))
+      .select(col(idCol).as("_qid"), col(vecCol).as("_qv"), col("_nrm").as("_qn"),
+        col("_cid"))
+    val dot = FloatVecDot.dot(col("_qv"), col(vecCol))
+    val cands = probes.join(assign, Seq("_cid"))
+      .filter(col("_qid") =!= col(idCol))
+      .select(col("_qid"), col(idCol).as("nn_id"),
+        round(dot / (col("_qn") * col("_nrm")), 6).as("cos"))
+    val wRank = Window.partitionBy("_qid").orderBy(col("cos").desc, col("nn_id"))
+    cands.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(idCol), col("rank"), col("nn_id"), col("cos"))
+  }
+
   /** Planes for a corpus of `n` vectors targeting ~`targetBucket` vectors per
     * bucket: the bucket space 2^planes must GROW with the corpus or bucket
     * population grows O(n/2^planes) and the probe equi-join degenerates toward

@@ -230,6 +230,24 @@ class FunctionsSpec extends SparkSpec {
     assert(top(2L)._1 === 1L)
   }
 
+  test("ivfTopK: exact dup is rank-1 with cosine 1; assignment is deterministic") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.5f, -0.2f, 0.1f)), (2L, Seq(1.0f, 0.5f, -0.2f, 0.1f)),
+      (3L, Seq(-1.0f, -0.5f, 0.9f, 0.0f)), (4L, Seq(0.9f, 0.6f, -0.1f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val top = SimOps.ivfTopK(e, "vec_id", "embedding", c = 4, nProbe = 2, k = 2)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(top(1L)._1 === 2L && math.abs(top(1L)._2 - 1.0) < 1e-9)
+    assert(top(2L)._1 === 1L)
+    // deterministic across partitionings (rounded-cosine + id tie-breaks)
+    val again = SimOps.ivfTopK(e.repartition(3), "vec_id", "embedding",
+      c = 4, nProbe = 2, k = 2).collect().map(_.toString).sorted.toSeq
+    val first = SimOps.ivfTopK(e, "vec_id", "embedding",
+      c = 4, nProbe = 2, k = 2).collect().map(_.toString).sorted.toSeq
+    assert(again === first)
+  }
+
   test("ANN multi-probe: recall rises with probe radius and beats random scanning") {
     // The driver corpus's embeddings are near-isotropic (brute-force NN cosine
     // ≈ 0.37, NN label agreement ≈ chance), so no sublinear probe scheme can
