@@ -1,34 +1,50 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.functions.SimOps
 
 /** Persisted near-dup index — the sibling-table pattern (`_lineage`,
-  * `_rejects`) applied to similarity. Three parquet tables under `dir`
-  * (`bands/`, `shingles/`, `sizes/`) hold the LSH band buckets, distinct
-  * 64-bit shingle hashes, and shingle-set sizes of everything ingested so
-  * far, so each CDC microbatch can
+  * `_rejects`) applied to similarity. Two parquet tables under `dir`
+  * (`bands/`, `shingles/`) hold the LSH band buckets and distinct 64-bit
+  * shingle hashes of everything ingested so far, so each CDC microbatch can
   *
   *  1. find its near-dups against the WHOLE corpus without re-shingling it
   *     ([[batchPairs]] — an equi-join against the index's band buckets,
   *     index side bucket-capped), then
-  *  2. [[append]] its own rows, keeping the index current.
+  *  2. [[append]] its own rows, keeping the index current — [[CdcStream]]
+  *     does this automatically when `neardupIndexDir` is configured.
+  *
+  * EXACTLY-ONCE BY IDEMPOTENT READS: appends are plain parquet appends with
+  * no atomicity across the two tables, so a crash-redelivered microbatch can
+  * re-append (at-least-once). Instead of a ledger, [[load]] deduplicates —
+  * `bands`/`shingles` rows are full-row `distinct()`, and the per-doc shingle
+  * set SIZE is derived from the deduplicated shingles rather than stored —
+  * so any number of re-appends of the same rows reads back as exactly one
+  * copy (the same trick CdcMerge gets from LWW: redelivery is absorbed by
+  * the read semantics, not fenced by a write-side lock).
+  *
+  * UPDATE semantics: the stream stamps ids as `conv#turn#lsn`, so an updated
+  * turn indexes as a NEW document and the superseded version remains listed —
+  * near-dup hits are advisory training-data metadata; pruning superseded
+  * versions is a compaction-style offline job (filter ids against the table's
+  * LWW state), not a per-batch obligation.
   *
   * This composes the engine's two halves: the corpus-at-rest dedup family
   * (SimOps.neardupPairs) and the incremental CDC ingest (CdcMerge). The
-  * reference has no analog — it dedups per-load batch only (UPLOAD_ID scoping,
-  * reference dest/I2b2QueryResultsHandler.java:169-170); a training-data
-  * pipeline needs cross-batch near-dup, which at 10⁹ documents is only
-  * feasible against a persisted index.
+  * reference has no analog — it dedups per-load batch only (UPLOAD_ID
+  * scoping, reference dest/I2b2QueryResultsHandler.java:169-170); a
+  * training-data pipeline needs cross-batch near-dup, which at 10⁹ documents
+  * is only feasible against a persisted index.
   *
   * Scale notes: `bands/` is written partitioned by `band` (8 directories) so
   * the candidate join prunes; at 100 TB the natural upgrade is bucketing
   * `bands/` by `bucket` (co-located join, no shuffle of the index side) and
   * storing both tables as LakeTable-managed buckets — the layout decision is
-  * isolated here. Appends are plain parquet appends: each file holds one
-  * batch's rows, and the index never rewrites old files (same append-only
-  * shape as the merge-on-read CDC path).
+  * isolated here. Appends never rewrite old files (same append-only shape as
+  * the merge-on-read CDC path); the read-side distinct costs one aggregation
+  * over the index per query.
   */
 object NeardupIndex {
 
@@ -36,34 +52,35 @@ object NeardupIndex {
                           shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                           rowsPerBand: Int = 4, maxBucket: Int = 200)
 
-  private def tables(dir: String) =
-    (s"$dir/bands", s"$dir/shingles", s"$dir/sizes")
+  private def tables(dir: String) = (s"$dir/bands", s"$dir/shingles")
 
   /** Create (or overwrite) the index from an initial corpus. */
   def write(dir: String, docs: DataFrame, cfg: Config = Config()): Unit =
     save(dir, docs, cfg, "overwrite")
 
-  /** Append a new batch's rows to an existing index. Caller must ensure the
-    * batch's ids are new (the CDC path guarantees this: only first-seen
-    * (conv_id, turn_idx) keys reach the index). */
+  /** Append a new batch's rows (creates the index if absent). Re-appending
+    * the same batch is harmless — [[load]] deduplicates (see class docs). */
   def append(dir: String, docs: DataFrame, cfg: Config = Config()): Unit =
     save(dir, docs, cfg, "append")
 
   private def save(dir: String, docs: DataFrame, cfg: Config, mode: String): Unit = {
     val t = SimOps.neardupIndexTables(docs, cfg.idCol, cfg.textCol,
       cfg.shingleN, cfg.k, cfg.bands, cfg.rowsPerBand)
-    val (bandsDir, shinglesDir, sizesDir) = tables(dir)
+    val (bandsDir, shinglesDir) = tables(dir)
     t.bands.write.mode(mode).partitionBy("band").parquet(bandsDir)
     t.shingles.write.mode(mode).parquet(shinglesDir)
-    t.sizes.write.mode(mode).parquet(sizesDir)
   }
 
+  /** Load with idempotent-read semantics: duplicate rows from redelivered
+    * appends collapse, and sizes are derived from the deduplicated shingles. */
   def load(spark: SparkSession, dir: String): SimOps.NeardupIndexTables = {
-    val (bandsDir, shinglesDir, sizesDir) = tables(dir)
+    val (bandsDir, shinglesDir) = tables(dir)
+    val shingles = spark.read.parquet(shinglesDir).distinct()
+    val idCol = shingles.columns.filterNot(_ == "_s").head
     SimOps.NeardupIndexTables(
-      spark.read.parquet(bandsDir),
-      spark.read.parquet(shinglesDir),
-      spark.read.parquet(sizesDir))
+      spark.read.parquet(bandsDir).distinct(),
+      shingles,
+      shingles.groupBy(idCol).agg(count(lit(1)).as("_sz")))
   }
 
   /** Near-dup pairs (new_id, old_id, jaccard) of `batch` against the persisted
@@ -72,4 +89,19 @@ object NeardupIndex {
                  cfg: Config = Config()): DataFrame =
     SimOps.incrementalPairsAgainst(load(spark, dir), batch, cfg.idCol,
       cfg.textCol, cfg.shingleN, cfg.k, cfg.bands, cfg.rowsPerBand, cfg.maxBucket)
+
+  /** The CDC hook: index a change-event microbatch's upsert texts, ids stamped
+    * `conv#turn#lsn` (updates index as new documents — see class docs). Rows
+    * with null keys/text or non-upsert ops carry nothing to index. */
+  def appendBatch(dir: String, changeBatch: DataFrame,
+                  cfg: Config = Config()): Unit = {
+    val docs = changeBatch
+      .filter(col("op").isin("I", "U") && col("conv_id").isNotNull &&
+        col("turn_idx").isNotNull && col("text").isNotNull)
+      .select(concat_ws("#", col("conv_id"), col("turn_idx"), col("lsn"))
+        .as(cfg.idCol), col("text").as(cfg.textCol))
+    // an all-rejected/delete-only batch has nothing to index; skipping also
+    // avoids creating a zero-file parquet dir that a later read can't infer
+    if (!docs.isEmpty) append(dir, docs, cfg)
+  }
 }

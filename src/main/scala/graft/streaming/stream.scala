@@ -29,7 +29,13 @@ object CdcStream {
       processingTimeMs: Long = 1000L,
       maxFilesPerTrigger: Option[Int] = None,
       mergeMode: String = "mor",
-      knownRoles: Option[Seq[String]] = None // P6 guard (see CdcMerge.rejectReason)
+      knownRoles: Option[Seq[String]] = None, // P6 guard (see CdcMerge.rejectReason)
+      // maintain a near-dup LSH index of ingested turn texts (see NeardupIndex):
+      // appended BEFORE the merge commit, so a crash between the two redelivers
+      // the append — absorbed by NeardupIndex.load's idempotent-read dedup
+      neardupIndexDir: Option[String] = None,
+      neardupCfg: graft.operators.NeardupIndex.Config =
+        graft.operators.NeardupIndex.Config()
   )
 
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
@@ -50,6 +56,15 @@ object CdcStream {
         val table = LakeTable.loadOrCreate(
           batch.sparkSession, cfg.tableDir,
           CdcMerge.physicalSchema(Schemas.payloadOf(batch.schema)), cfg.numBuckets)
+        // Near-dup indexing runs BEFORE the merge and only for epochs the
+        // ledger has not committed: if we crash after indexing but before the
+        // merge commit, the redelivered epoch re-indexes (idempotent reads
+        // absorb it) and then merges; if the merge committed, the ledger skips
+        // the epoch entirely — and its indexing necessarily already happened.
+        cfg.neardupIndexDir.foreach { dir =>
+          if (epochId > table.appliedEpoch(cfg.queryId))
+            graft.operators.NeardupIndex.appendBatch(dir, batch, cfg.neardupCfg)
+        }
         CdcMerge.applyBatch(table, batch, epochId, cfg.queryId, mode = cfg.mergeMode,
           knownRoles = cfg.knownRoles)
         ()

@@ -213,6 +213,53 @@ class StreamSpec extends SparkSpec {
     assert(full.nonEmpty)
   }
 
+  test("stream-maintained near-dup index: exactly-once via idempotent reads, rejects excluded") {
+    import graft.operators.NeardupIndex
+    val src = tmpDir("ndi-src"); val tbl = tmpDir("ndi-tbl"); val ckpt = tmpDir("ndi-ck")
+    val idx = tmpDir("ndi-idx")
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    def ev(conv: String, turn: Int, text: String, op: String, lsn: Long) =
+      (conv, turn, "user", text, null: String,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), op, lsn)
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts", "op", "lsn")
+    Seq(ev("c1", 0, base, "I", 1L), ev("c2", 0, "completely unrelated words in this one", "I", 2L))
+      .toDF(cols: _*).repartition(1).write.parquet(s"$src/e0")
+    Seq(ev("c3", 0, base + " tail", "I", 3L),      // near-dup of c1#0
+        ev("c1", 0, null, "D", 4L),                // delete: not indexed
+        ev(null, 0, "null key never indexed", "I", 5L)) // reject: not indexed
+      .toDF(cols: _*).repartition(1).write.parquet(s"$src/e1")
+    val ncfg = NeardupIndex.Config(shingleN = 2)
+    val cfg = CdcStream.Config(src, tbl, ckpt, queryId = "ndi", numBuckets = 8,
+      maxFilesPerTrigger = Some(1), neardupIndexDir = Some(idx), neardupCfg = ncfg)
+    CdcStream.runAvailable(spark, cfg)
+    val loaded = NeardupIndex.load(spark, idx)
+    val ids = loaded.shingles.select("doc_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(ids === Set("c1#0#1", "c2#0#2", "c3#0#3"), s"indexed ids: $ids")
+    // a new batch's text finds its near-dups across ALL past microbatches
+    val probe = Seq((("p1"), base + " probe")).toDF("doc_id", "text")
+    def probePairs() = NeardupIndex.batchPairs(spark, idx, probe, ncfg)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toMap
+    val hits = probePairs()
+    assert(hits.keySet === Set("c1#0#1", "c3#0#3"), s"probe hits: $hits")
+    // crash redelivery: re-appending an already-indexed batch is absorbed by
+    // the idempotent read (same ids, same shingle-set sizes, same jaccards)
+    NeardupIndex.appendBatch(idx, spark.read.parquet(s"$src/e1"), ncfg)
+    val again = NeardupIndex.load(spark, idx)
+    assert(again.sizes.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      loaded.sizes.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    assert(probePairs() === hits)
+    // resume with a new epoch from the same checkpoint: only the new doc lands
+    Seq(ev("c4", 1, base + " more tail", "I", 6L)).toDF(cols: _*)
+      .repartition(1).write.parquet(s"$src/e2")
+    CdcStream.runAvailable(spark, cfg)
+    val ids2 = NeardupIndex.load(spark, idx).shingles.select("doc_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(ids2 === ids + "c4#1#6")
+  }
+
   test("crash orphans: data files written without a manifest commit are invisible and harmless") {
     val dir = tmpDir("orph")
     val t = LakeTable.create(spark, dir, CdcMerge.physicalSchema(Schemas.transcript), 8)
