@@ -10,7 +10,7 @@ import graft.streaming.CdcStream
   *
   * {{{
   *   Replay gen  <srcDir> <epochs> <eventsPerEpoch> [numConvs] [hotShare] [pDelete]
-  *   Replay run  <srcDir> <tableDir> <ckptDir> [queryId] [numBuckets] [maxFilesPerTrigger]
+  *   Replay run  <srcDir> <tableDir> <ckptDir> [queryId] [numBuckets] [maxFilesPerTrigger] [neardupIndexDir]
   *   Replay show <tableDir> [n]
   *   Replay lineage <tableDir> <queryId>
   * }}}
@@ -39,10 +39,12 @@ object Replay {
       val queryId = rest.headOption.getOrElse("graft")
       val buckets = rest.lift(1).map(_.toInt).getOrElse(64)
       val mft = rest.lift(2).map(_.toInt)
+      val ndIdx = rest.lift(3) // optional: maintain a near-dup LSH index here
       val t0 = System.nanoTime()
       CdcStream.runAvailable(spark, CdcStream.Config(
         sourceDir = src, tableDir = table, checkpointDir = ckpt,
-        queryId = queryId, numBuckets = buckets, maxFilesPerTrigger = mft))
+        queryId = queryId, numBuckets = buckets, maxFilesPerTrigger = mft,
+        neardupIndexDir = ndIdx))
       val secs = (System.nanoTime() - t0) / 1e9
       val t = LakeTable.load(spark, table)
       println(f"replay done in $secs%.1fs; table rows=${CdcMerge.state(t).count()} " +
