@@ -11,11 +11,12 @@ import org.apache.spark.sql.types._
   *
   * The Spark side — schemas, partition-parallel batch processing, column
   * contracts — is real and tested. The codec layer is split:
-  *  - PNG, JPEG, and BMP images and RIFF/WAVE audio are decoded FOR REAL by
-  *    [[parsePng]] / [[parseJpeg]] / [[parseBmp]] / [[parseWav]] (pure-JVM
-  *    header parsing, no external libraries);
-  *  - video containers fall back to [[decodeStub]], a deterministic fake (this
-  *    container ships no ffmpeg; swap the stub for a JNI/library call in
+  *  - PNG, JPEG, BMP, and GIF images, RIFF/WAVE audio, and MP4/ISO-BMFF video
+  *    are decoded FOR REAL by [[parsePng]] / [[parseJpeg]] / [[parseBmp]] /
+  *    [[parseGif]] / [[parseWav]] / [[parseMp4]] (pure-JVM header parsing, no
+  *    external libraries);
+  *  - unrecognized payloads fall back to [[decodeStub]], a deterministic fake
+  *    (this container ships no ffmpeg; swap the stub for a JNI/library call in
   *    production — the per-partition init point is already in place).
   * In PySpark the same shape is `mapInPandas` over Arrow record batches; the
   * Scala analog used here is `mapPartitions` over an explicit Row encoder — one
@@ -103,9 +104,73 @@ object Multimodal {
     None
   }
 
+  private def be64(b: Array[Byte], off: Int): Long =
+    ((be32(b, off) & 0xFFFFFFFFL) << 32) | (be32(b, off + 4) & 0xFFFFFFFFL)
+
+  /** Real GIF header decode: 'GIF87a'/'GIF89a' magic, logical-screen width
+    * (int16 LE) at offset 6, height at 8. Returns (width, height) or None. */
+  def parseGif(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes.length >= 10 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+      Some((le16(bytes, 6), le16(bytes, 8)))
+    else None
+
+  /** Real MP4 / ISO-BMFF header decode: walk the box tree
+    * (`[size:int32 BE][4cc]`; size==1 → 64-bit largesize follows; size==0 →
+    * box runs to the end of the enclosing range) down `moov/trak`, read the
+    * first visual track's `tkhd` width/height (16.16 fixed point; version-1
+    * tkhd carries 64-bit timestamps, shifting the offsets by 12) and that
+    * track's `mdia/minf/stbl/stsz` sample count as the frame count. Requires a
+    * top-level `ftyp` so random binaries don't misparse. Returns
+    * (width, height, nFrames) or None. */
+  def parseMp4(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    // child boxes of [start, end) as (type, payloadStart, payloadEnd)
+    def boxesIn(start: Int, end: Int): List[(String, Int, Int)] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var i = start
+      var ok = true
+      while (ok && i + 8 <= end) {
+        val size32 = be32(bytes, i)
+        val typ = new String(bytes, i + 4, 4, "ISO-8859-1")
+        val (payload, boxEnd): (Int, Long) =
+          if (size32 == 1 && i + 16 <= end) (i + 16, i + be64(bytes, i + 8))
+          else if (size32 == 0) (i + 8, end.toLong)
+          else (i + 8, i + size32.toLong)
+        if (boxEnd > end || boxEnd <= i || payload > boxEnd) ok = false
+        else { out += ((typ, payload, boxEnd.toInt)); i = boxEnd.toInt }
+      }
+      out.result()
+    }
+    def child(parent: (String, Int, Int), typ: String): Option[(String, Int, Int)] =
+      boxesIn(parent._2, parent._3).find(_._1 == typ)
+
+    val top = boxesIn(0, bytes.length)
+    if (!top.exists(_._1 == "ftyp")) return None
+    val hits = for {
+      moov <- top.iterator if moov._1 == "moov"
+      trak <- boxesIn(moov._2, moov._3).iterator if trak._1 == "trak"
+      tkhd <- child(trak, "tkhd").iterator
+      version = bytes(tkhd._2) & 0xFF
+      dimOff = tkhd._2 + (if (version == 1) 88 else 76)
+      if dimOff + 8 <= tkhd._3
+      w = be32(bytes, dimOff) >>> 16     // 16.16 fixed point
+      h = be32(bytes, dimOff + 4) >>> 16
+      if w > 0 && h > 0                  // audio/hint tracks carry 0x0
+    } yield {
+      val frames = for {
+        mdia <- child(trak, "mdia"); minf <- child(mdia, "minf")
+        stbl <- child(minf, "stbl"); stsz <- child(stbl, "stsz")
+        if stsz._2 + 12 <= stsz._3
+      } yield be32(bytes, stsz._2 + 8)   // fullbox(4) + sample_size(4) + count
+      (w, h, math.max(frames.getOrElse(1), 1))
+    }
+    hits.nextOption()
+  }
+
   /** STUB decoder — deterministic pseudo-decode for formats without a real
-    * parser above (now only VIDEO containers). Replace with a real codec
-    * (ffmpeg) in production. */
+    * parser above (now only non-MP4 video containers, e.g. MKV/WebM). Replace
+    * with a real codec (ffmpeg) in production. */
   private[functions] def decodeStub(bytes: Array[Byte], mediaType: String)
       : (Int, Int, Int, Array[Float]) = {
     def h(seed: Long): Long = {
@@ -123,7 +188,7 @@ object Multimodal {
   /** Decode + feature-extract a binary media column, partition-parallel.
     * Input needs (`idCol`: long, `bytesCol`: binary, `typeCol`: string); output is
     * the id + a `media` struct of [[mediaMetaSchema]]. Real header parsing for
-    * BMP/WAV payloads; deterministic stub otherwise. */
+    * PNG/JPEG/BMP/GIF/WAV/MP4 payloads; deterministic stub otherwise. */
   def decodeAndFeaturize(df: DataFrame, idCol: String, bytesCol: String,
                          typeCol: String): DataFrame = {
     val outSchema = StructType(Seq(
@@ -137,10 +202,12 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           val mt = r.getString(2)
           val (w, h, f, feat) = decodeStub(bytes, mt)
-          val image = parsePng(bytes).orElse(parseJpeg(bytes)).orElse(parseBmp(bytes))
-          val media = (image, parseWav(bytes)) match {
-            case (Some((iw, ih)), _) => Row(mt, iw, ih, 1, null, null, feat.toSeq)
-            case (_, Some((rate, ch))) => Row(mt, null, null, 1, rate, ch, feat.toSeq)
+          val image = parsePng(bytes).orElse(parseJpeg(bytes))
+            .orElse(parseBmp(bytes)).orElse(parseGif(bytes))
+          val media = (image, parseWav(bytes), parseMp4(bytes)) match {
+            case (Some((iw, ih)), _, _) => Row(mt, iw, ih, 1, null, null, feat.toSeq)
+            case (_, Some((rate, ch)), _) => Row(mt, null, null, 1, rate, ch, feat.toSeq)
+            case (_, _, Some((vw, vh, nf))) => Row(mt, vw, vh, nf, null, null, feat.toSeq)
             case _ => Row(mt, w, h, f, null, null, feat.toSeq)
           }
           Row(r.getLong(0), media)

@@ -431,6 +431,56 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1).getInt(1) === 640 && out(1).getInt(2) === 480)
   }
 
+  test("multimodal: real MP4 and GIF headers decode to dimensions/frame counts") {
+    // hand-built minimal ISO-BMFF trees — pure bytes, no media libraries
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val size = 8 + payload.length
+      Array(((size >> 24) & 0xFF).toByte, ((size >> 16) & 0xFF).toByte,
+        ((size >> 8) & 0xFF).toByte, (size & 0xFF).toByte) ++
+        typ.getBytes("ISO-8859-1") ++ payload
+    }
+    def largeBox(typ: String, payload: Array[Byte]): Array[Byte] = {
+      // size==1 → 64-bit largesize (16-byte header)
+      val size = 16L + payload.length
+      Array[Byte](0, 0, 0, 1) ++ typ.getBytes("ISO-8859-1") ++
+        (0 until 8).map(i => ((size >> (8 * (7 - i))) & 0xFF).toByte).toArray ++ payload
+    }
+    def be32a(v: Int) = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def tkhd(w: Int, h: Int): Array[Byte] =
+      // version 0: fullbox(4) + times/ids/reserved/layer/volume/matrix (72) +
+      // width/height as 16.16 fixed point at payload offsets 76/80
+      box("tkhd", new Array[Byte](76) ++ be32a(w << 16) ++ be32a(h << 16))
+    def stszTrak(w: Int, h: Int, frames: Int): Array[Byte] = {
+      val stsz = box("stsz", new Array[Byte](8) ++ be32a(frames))
+      box("trak", tkhd(w, h) ++ box("mdia", box("minf", box("stbl", stsz))))
+    }
+    val ftyp = box("ftyp", "isom".getBytes ++ new Array[Byte](4))
+    val audioTrak = stszTrak(0, 0, 99) // audio tracks carry 0x0 dims — must be skipped
+    val mp4 = ftyp ++ box("moov", audioTrak ++ stszTrak(1280, 720, 42))
+    assert(Multimodal.parseMp4(mp4) === Some((1280, 720, 42)))
+    // 64-bit largesize moov parses identically
+    val mp4Large = ftyp ++ largeBox("moov", stszTrak(3840, 2160, 7))
+    assert(Multimodal.parseMp4(mp4Large) === Some((3840, 2160, 7)))
+    // no ftyp, truncated, or foreign bytes → None (no misparse of random binaries)
+    assert(Multimodal.parseMp4(box("moov", stszTrak(10, 10, 1))) === None)
+    assert(Multimodal.parseMp4(mp4.take(20)) === None)
+    assert(Multimodal.parseMp4("GIF89a-not-an-mp4-at-all".getBytes) === None)
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes ++ Array((w & 0xFF).toByte, ((w >> 8) & 0xFF).toByte,
+        (h & 0xFF).toByte, ((h >> 8) & 0xFF).toByte)
+    assert(Multimodal.parseGif(gif(320, 200)) === Some((320, 200)))
+    assert(Multimodal.parseGif(mp4) === None)
+    // and through the partition-parallel decode operator: real frame counts
+    val media = Seq((1L, mp4, "video"), (2L, gif(320, 200), "image"))
+      .toDF("id", "payload", "media_type")
+    val out = Multimodal.decodeAndFeaturize(media, "id", "payload", "media_type")
+      .select(col("id"), col("media.width"), col("media.height"), col("media.n_frames"))
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) === 1280 && out(0).getInt(2) === 720 && out(0).getInt(3) === 42)
+    assert(out(1).getInt(1) === 320 && out(1).getInt(2) === 200)
+  }
+
   test("multimodal: decode/featurize plumbing is deterministic and partition-safe") {
     val media = Seq(
       (1L, "fake-jpeg-bytes-aaaa".getBytes, "image"),
