@@ -245,6 +245,23 @@ object SparkEntry {
     "q_quality" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextOps.qualityScore(col("text")).as("quality"))),
+    "q_split_assign" -> ((s, d) =>
+      // deterministic 90/5/5 train/val/test routing by content hash: a pure
+      // map-side projection (no shuffle), stable under re-ingest and id
+      // reassignment — see TextOps.splitBucket for why content- not id-keyed
+      t(s, d, "documents")
+        .withColumn("bucket", TextOps.splitBucket(col("text")))
+        .select(col("doc_id"), col("bucket"),
+          TextOps.splitName(col("bucket")).as("split"))),
+    "q_decontam" -> ((s, d) => {
+      // benchmark decontamination: distinct word-3-gram overlap of each corpus
+      // doc against the eval set (doc_id % 20 == 0 stands in for the benchmark)
+      val docs = t(s, d, "documents")
+      SimOps.contaminationCounts(
+          corpus = docs.filter(col("doc_id") % 20 =!= 0),
+          bench = docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 3)
+    }),
     "q_ann_topk" -> ((s, d) => {
       // brute-force cosine top-10 around the vec_id=0 query vector
       val e = t(s, d, "embeddings")
@@ -557,6 +574,28 @@ object SparkEntry {
              + (length(text) - length(replace(text,'?',''))))
               / greatest(CAST(length(text) AS DOUBLE), 1.0)) > 0.1 THEN 0.2 ELSE 0.0 END)
          , 2) AS quality FROM documents""",
+    "q_split_assign" ->
+      """SELECT doc_id,
+                CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 AS bucket,
+                CASE WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 < 90
+                       THEN 'train'
+                     WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 < 95
+                       THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents""",
+    "q_decontam" ->
+      s"""WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+                      FROM documents),
+          g AS (SELECT doc_id, ${PortableHash.md5LongSql("s")} AS h
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                               range(0, greatest(len(tk) - 3, 0) + 1),
+                               i -> array_to_string(list_slice(tk, i + 1, i + 3), ' '))) AS s
+                      FROM tk WHERE len(tk) > 0)),
+          bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0),
+          corpus AS (SELECT DISTINCT doc_id, h FROM g WHERE doc_id % 20 <> 0)
+          SELECT doc_id, count(*) AS overlap_ngrams
+          FROM corpus JOIN bench USING (h) GROUP BY doc_id""",
     "q_ann_topk" ->
       """SELECT e.vec_id,
                 round(list_cosine_similarity(

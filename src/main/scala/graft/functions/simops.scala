@@ -130,6 +130,26 @@ object SimOps {
       greatest(size(a) + size(b) - common, lit(1)).cast("double")
   }
 
+  /** Benchmark decontamination: for each corpus document, how many DISTINCT
+    * word n-grams it shares with ANY benchmark/eval document — the overlap
+    * count behind "drop training docs that contain eval data". Plan shape for
+    * 100 TB: the benchmark side collapses to a distinct hashed-n-gram set
+    * (eval suites are orders of magnitude smaller than the corpus, so it is
+    * broadcast-sized by construction), the corpus grams semi-join against that
+    * broadcast MAP-SIDE (non-matching grams — the overwhelming majority — die
+    * before any shuffle), and only surviving (id, 8-byte hash) rows shuffle
+    * for the per-document distinct count. Never a document-pair join. */
+  def contaminationCounts(corpus: DataFrame, bench: DataFrame, idCol: String,
+                          textCol: String, n: Int = 3): DataFrame = {
+    val benchGrams = shingleRows(bench, idCol, textCol, n)
+      .select(md5Long(col("_sh")).as("_h")).distinct()
+    shingleRows(corpus, idCol, textCol, n)
+      .select(col(idCol), md5Long(col("_sh")).as("_h"))
+      .join(broadcast(benchGrams), Seq("_h"), "left_semi")
+      .dropDuplicates(idCol, "_h")
+      .groupBy(idCol).agg(count(lit(1)).as("overlap_ngrams"))
+  }
+
   /** Cosine similarity of two float vectors via the native codegen'd
     * [[FloatVecDot]] expression (ascending-index IEEE sums — bit-identical to
     * the interpreted HOF fold it replaced AND to the oracle's list_reduce). */

@@ -91,6 +91,22 @@ object TextOps {
   /** Exact content fingerprint (md5 — portable across engines). */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
 
+  /** Deterministic train/val/test routing: portable-md5 CONTENT hash → one of
+    * 100 buckets. Content-keyed on purpose — ids are assigned at ingest, so an
+    * id-keyed split sends re-ingested or near-identical shards of the same
+    * document to different splits (eval leakage); hashing the text itself makes
+    * the assignment stable under re-ingest, repartitioning, and id reassignment.
+    * Pure codegen'd column math: the split is a map-side projection, no shuffle,
+    * and the same derivation runs in any md5-bearing engine. */
+  def splitBucket(text: Column): Column =
+    pmod(PortableHash.md5Long(text), lit(100L))
+
+  /** Bucket → split name, default 90/5/5. */
+  def splitName(bucket: Column, trainPct: Int = 90, valPct: Int = 5): Column =
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+
   /** Rolling polynomial fingerprint over whitespace tokens (order-sensitive,
     * unlike a set hash). Token hashes derive from md5 ([[SimOps]] portability
     * rationale) so the DuckDB oracle reproduces the value bit-for-bit. */

@@ -361,6 +361,50 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("split assignment: content-keyed, deterministic, ~90/5/5") {
+    // ids 0-999 and 1000-1999 carry IDENTICAL contents — the content-keyed
+    // split must route each duplicate pair to the same split
+    val corpus = (0 until 2000).map(i => (i.toLong, s"document body number ${i % 1000}"))
+      .toDF("doc_id", "text")
+    val assigned = corpus
+      .withColumn("bucket", TextOps.splitBucket(col("text")))
+      .withColumn("split", TextOps.splitName(col("bucket")))
+    val perText = assigned.groupBy("text")
+      .agg(countDistinct("split").as("n")).filter(col("n") =!= 1).count()
+    assert(perText === 0, "identical contents split-routed differently")
+    val counts = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    assert(counts("train") / total > 0.85 && counts("train") / total < 0.95,
+      s"train share off 90%: $counts")
+    assert(counts.getOrElse("val", 0L) > 0 && counts.getOrElse("test", 0L) > 0)
+    // buckets span [0, 100) and the assignment is partitioning-invariant
+    assert(assigned.agg(min("bucket"), max("bucket")).collect()(0).getLong(1) < 100)
+    val again = corpus.repartition(7)
+      .withColumn("bucket", TextOps.splitBucket(col("text")))
+      .withColumn("split", TextOps.splitName(col("bucket")))
+    assert(assigned.orderBy("doc_id").collect().toSeq ===
+      again.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("contamination counts: exact distinct-gram overlaps, duplicates counted once") {
+    val corpus = Seq(
+      (1L, "a b c d"),        // 3-grams: "a b c", "b c d" — one overlaps
+      (2L, "x y z w"),        // no overlap → absent from output
+      (3L, "b c d b c d"),    // grams {b c d, c d b, d b c} — overlap still 1
+      (4L, "e f g h")         // 3-grams: "e f g", "f g h" — both overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "b c d e f g h")).toDF("doc_id", "text")
+    val out = SimOps.contaminationCounts(corpus, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 1L), (3L, 1L), (4L, 2L)))
+    // a disjoint benchmark yields an empty report, not zero-rows-per-doc
+    val none = SimOps.contaminationCounts(corpus,
+      Seq((200L, "totally unrelated tokens only")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 3)
+    assert(none.count() === 0)
+  }
+
   test("multimodal: real BMP and WAV headers decode to true dimensions/rates") {
     // hand-built canonical headers (pure bytes, no image/audio libs involved)
     def bmp(w: Int, h: Int): Array[Byte] = {

@@ -76,6 +76,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(text"), s"raw text must not be the shuffle key:\n$p")
   }
 
+  test("split assignment is a shuffle-free map-side projection") {
+    val p = executedPlan(SparkEntry.queries("q_split_assign")(spark, sf))
+    assert(!p.contains("Exchange"), s"content-hash split routing must not shuffle:\n$p")
+  }
+
+  test("decontamination broadcasts the benchmark gram set, never joining documents") {
+    val p = executedPlan(SparkEntry.queries("q_decontam")(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"bench grams must broadcast into a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"decontamination must stay equi-join shaped:\n$p")
+  }
+
   test("whole-stage codegen covers the hot scan+filter+project pipeline") {
     val df = SparkEntry.queries("q_valtype_encode")(spark, sf)
     val p = executedPlan(df)
