@@ -12,6 +12,7 @@ import graft.streaming.CdcStream
   *   Replay gen  <srcDir> <epochs> <eventsPerEpoch> [numConvs] [hotShare] [pDelete]
   *   Replay run  <srcDir> <tableDir> <ckptDir> [queryId] [numBuckets] [maxFilesPerTrigger] [neardupIndexDir]
   *   Replay show <tableDir> [n]
+  *   Replay showAt <tableDir> <version> [n]   // time travel
   *   Replay lineage <tableDir> <queryId>
   * }}}
   * Local testing uses `local[N]` via SPARK_GRAFT_CPUS; under spark-submit the
@@ -59,6 +60,18 @@ object Replay {
         s"files: ${t.snapshot.files.size}  " +
         s"snapshot: v${t.snapshot.version}  summary: ${t.snapshot.summary}")
       CdcMerge.state(t).orderBy("conv_id", "turn_idx").show(rest.headOption.map(_.toInt).getOrElse(10), false)
+      spark.stop()
+
+    case "showAt" :: table :: version :: rest =>
+      val spark = session()
+      val t = LakeTable.load(spark, table)
+      val v = version.toLong
+      val s = t.snapshotAt(v)
+      println(s"schema@v$v: ${s.schema.simpleString}")
+      println(s"rows@v$v: ${CdcMerge.stateAsOf(t, v).count()}  files: ${s.files.size}  " +
+        s"summary: ${s.summary}  (latest is v${t.snapshot.version})")
+      CdcMerge.stateAsOf(t, v).orderBy("conv_id", "turn_idx")
+        .show(rest.headOption.map(_.toInt).getOrElse(10), false)
       spark.stop()
 
     case "compact" :: table :: rest =>

@@ -72,6 +72,11 @@ object CdcMerge {
   def state(table: LakeTable): DataFrame =
     resolve(table.read()).filter(!col("_deleted")).drop(sysCols: _*)
 
+  /** User-visible state AS OF a committed snapshot version (time travel):
+    * the same LWW-resolve + tombstone filter over that version's files. */
+  def stateAsOf(table: LakeTable, version: Long): DataFrame =
+    resolve(table.readAsOf(version)).filter(!col("_deleted")).drop(sysCols: _*)
+
   /** Rows that can never be merged (null key parts / null or unknown op /
     * unknown role when a known-role guard is configured) and why.
     *

@@ -189,20 +189,37 @@ final class LakeTable(val spark: SparkSession, val dir: String,
   def bucketOf(c: Column): Column = bucketCol(c, snap.numBuckets)
 
   /** Read the current snapshot, aligned to the current schema. */
-  def read(): DataFrame = readFiles(snap.files)
+  def read(): DataFrame = readFiles(snap, snap.files)
 
   /** Read only the given buckets' files (file-level pruning for MERGE). */
   def readBuckets(buckets: Set[Int]): DataFrame =
-    readFiles(snap.files.filter(f => buckets.contains(f.bucket)))
+    readFiles(snap, snap.files.filter(f => buckets.contains(f.bucket)))
 
-  private def readFiles(files: List[FileEntry]): DataFrame = {
-    val cur = snap.schema
+  /** TIME-TRAVEL read: the table exactly as committed at `version`, aligned to
+    * THAT snapshot's current schema (a reader at commit time saw this frame,
+    * including columns a later evolution renamed away). Snapshot isolation
+    * makes this free — a committed manifest is immutable and its data files
+    * are never rewritten in place — until `Maintain.vacuum` expires the old
+    * version, after which this throws (segment manifest or data files GC'd). */
+  def readAsOf(version: Long): DataFrame = {
+    val s = snapshotAt(version)
+    readFiles(s, s.files)
+  }
+
+  /** The committed snapshot metadata at `version` (strict: every segment
+    * manifest must still exist). */
+  def snapshotAt(version: Long): Snapshot =
+    loadVersion(dir, version, io).getOrElse(throw new IllegalStateException(
+      s"no committed snapshot v$version under $dir (never committed, or vacuumed)"))
+
+  private def readFiles(s: Snapshot, files: List[FileEntry]): DataFrame = {
+    val cur = s.schema
     if (files.isEmpty) return spark.createDataFrame(List.empty[org.apache.spark.sql.Row].asJava, cur)
     // Files are grouped by physical schema and each group is read with its EXACT
     // written schema, then cast/realigned — old int32 files stay readable after a
     // widen-to-long evolution without relying on reader-side type promotion.
     files.groupBy(_.schemaId).map { case (sid, group) =>
-      val df = spark.read.schema(snap.schemaFor(sid))
+      val df = spark.read.schema(s.schemaFor(sid))
         .parquet(group.map(f => s"$dir/${f.path}"): _*)
       align(df, cur)
     }.reduce(_.unionByName(_))
@@ -376,6 +393,15 @@ object LakeTable {
         else Nil
       }
       s.copy(files = files)
+  }
+
+  /** One specific committed version, strictly reconstituted. */
+  private[sources] def loadVersion(dir: String, version: Long,
+                                   io: LakeIO = NioLakeIO): Option[Snapshot] = {
+    val p = f"${manifestDir(dir)}/v$version%08d.json"
+    if (!io.exists(p)) None
+    else Some(reconstitute(dir, Serialization.read[Snapshot](io.readString(p)), io,
+      strict = true))
   }
 
   private[sources] def loadLatest(dir: String, io: LakeIO = NioLakeIO): Option[Snapshot] = {

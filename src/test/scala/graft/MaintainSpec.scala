@@ -60,11 +60,37 @@ class MaintainSpec extends SparkSpec {
   test("truncate (REPLACE mode): table empties, ledger resets, history keeps the old snapshot") {
     val (t, _) = loaded("trunc")
     val vBefore = t.snapshot.version
+    val stateBefore = CdcMerge.state(t).orderBy("conv_id", "turn_idx").collect().toSeq
     Maintain.truncate(t)
     assert(CdcMerge.state(t).count() === 0L)
     assert(t.appliedEpoch("q") === -1L)
-    // time travel: previous snapshot still lists the data files
+    // time travel: previous snapshot still lists the data files, and a
+    // readAsOf reconstructs the exact pre-truncate user-visible state
     assert(LakeTable.history(t.dir).exists(s => s.version == vBefore && s.files.nonEmpty))
+    assert(CdcMerge.stateAsOf(t, vBefore).orderBy("conv_id", "turn_idx")
+      .collect().toSeq === stateBefore)
+  }
+
+  test("time travel: every committed version reads back as its own LWW state") {
+    val dir = tmpDir("timetravel")
+    val t = LakeTable.create(spark, dir, CdcMerge.physicalSchema(Schemas.transcript), 8)
+    val epochs = (0 until 3).map { e =>
+      ChangeGen.events(spark, 800L, numConvs = 10, maxTurns = 5, pDelete = 0.1,
+        seed = e + 1L, lsnStart = e * 10000L)
+    }
+    val versionAfter = epochs.zipWithIndex.map { case (ev, e) =>
+      CdcMerge.applyBatch(t, ev, e.toLong, "q"); t.snapshot.version
+    }
+    // each historical version equals the LWW oracle over its event prefix
+    versionAfter.zipWithIndex.foreach { case (v, e) =>
+      val prefix = epochs.take(e + 1).reduce(_.unionByName(_))
+      assert(Oracle.diff(CdcMerge.stateAsOf(t, v), Oracle.expectedState(prefix)).isEmpty,
+        s"time-travel state at v$v diverges from the epoch-${e} oracle")
+    }
+    // the snapshot metadata rides along (schema of the day, not today's)
+    assert(t.snapshotAt(versionAfter.head).schema === t.schema)
+    // a never-committed version fails loudly, not with a silent empty frame
+    intercept[IllegalStateException] { t.readAsOf(9999L) }
   }
 
   test("scoped deleteWhere removes only matching rows, copy-on-write") {
