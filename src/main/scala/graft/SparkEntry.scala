@@ -253,6 +253,34 @@ object SparkEntry {
         .withColumn("bucket", TextOps.splitBucket(col("text")))
         .select(col("doc_id"), col("bucket"),
           TextOps.splitName(col("bucket")).as("split"))),
+    "q_tfidf" -> ((s, d) => {
+      // relational TF-IDF, top term per document: one token explode, two
+      // map-side-combinable aggregates (tf by (doc,term), df by term), a
+      // term-keyed equi-join, and a per-doc window top-1. The corpus size
+      // rides in as a broadcast 1-row frame — no driver collect
+      val tok = t(s, d, "documents").select(col("doc_id"),
+        explode(filter(split(col("text"), " "), w => length(w) > 0)).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf", round(col("tf").cast("double") *
+          (log((col("n") + 1).cast("double") / (col("df") + 1).cast("double")) + 1.0), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("doc_id"), col("term"), col("tfidf"))
+    }),
+    "q_sample_strat" -> ((s, d) =>
+      // deterministic stratified downsampling (language rebalancing): keep
+      // 50% of 'en' and 10% of every other stratum by CONTENT-hash bucket —
+      // a map-side filter (no shuffle, no RNG), reproducible across runs,
+      // partitionings, and engines
+      t(s, d, "documents")
+        .withColumn("bucket", TextOps.splitBucket(col("text")))
+        .filter(col("bucket") <
+          when(col("lang") === "en", lit(50L)).otherwise(lit(10L)))
+        .select(col("doc_id"), col("lang"), col("bucket"))),
     "q_decontam" -> ((s, d) => {
       // benchmark decontamination: distinct word-3-gram overlap of each corpus
       // doc against the eval set (doc_id % 20 == 0 stands in for the benchmark)
@@ -583,6 +611,29 @@ object SparkEntry {
                        THEN 'val'
                      ELSE 'test' END AS split
          FROM documents""",
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+                      FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+          dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+          scored AS (SELECT doc_id, term,
+                            round(CAST(tf AS DOUBLE) *
+                                  (ln(CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0),
+                                  6) AS tfidf
+                     FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+          SELECT doc_id, term, tfidf
+          FROM (SELECT doc_id, term, tfidf,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, term) AS rn
+                FROM scored)
+          WHERE rn = 1""",
+    "q_sample_strat" ->
+      """SELECT doc_id, lang,
+                CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 AS bucket
+         FROM documents
+         WHERE CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 <
+               CASE WHEN lang = 'en' THEN 50 ELSE 10 END""",
     "q_decontam" ->
       s"""WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
                       FROM documents),
