@@ -257,10 +257,14 @@ object SparkEntry {
       // relational TF-IDF, top term per document: one token explode, two
       // map-side-combinable aggregates (tf by (doc,term), df by term), a
       // term-keyed equi-join, and a per-doc window top-1. The corpus size
-      // rides in as a broadcast 1-row frame — no driver collect
+      // rides in as a broadcast 1-row frame — no driver collect. tf is
+      // MATERIALIZED because three branches (score, df, n) hang off it —
+      // unmaterialized, each re-tokenizes the whole corpus from the scan
+      // (the explain showed 3 Generate+scan chains for one logical pass)
       val tok = t(s, d, "documents").select(col("doc_id"),
         explode(filter(split(col("text"), " "), w => length(w) > 0)).as("term"))
-      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val tf = SimOps.materialize(
+        tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n"))
       val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))

@@ -60,7 +60,7 @@ object SimOps {
     *    partitions. At extreme scale prefer writing the intermediate to a
     *    staging table (the `_lineage`-sibling pattern in sources/lake.scala).
     * Both strategies produce identical results (FunctionsSpec asserts it). */
-  private def materialize(df: DataFrame): DataFrame =
+  private[graft] def materialize(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("spark.graft.sim.materialize")
       .getOrElse("localCheckpoint") match {
       case "persist" =>
