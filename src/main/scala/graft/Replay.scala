@@ -67,10 +67,11 @@ object Replay {
       val t = LakeTable.load(spark, table)
       val v = version.toLong
       val s = t.snapshotAt(v)
+      val st = CdcMerge.stateAsOf(t, v).persist() // count + show: resolve once
       println(s"schema@v$v: ${s.schema.simpleString}")
-      println(s"rows@v$v: ${CdcMerge.stateAsOf(t, v).count()}  files: ${s.files.size}  " +
+      println(s"rows@v$v: ${st.count()}  files: ${s.files.size}  " +
         s"summary: ${s.summary}  (latest is v${t.snapshot.version})")
-      CdcMerge.stateAsOf(t, v).orderBy("conv_id", "turn_idx")
+      st.orderBy("conv_id", "turn_idx")
         .show(rest.headOption.map(_.toInt).getOrElse(10), false)
       spark.stop()
 

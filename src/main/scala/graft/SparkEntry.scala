@@ -260,7 +260,12 @@ object SparkEntry {
       // rides in as a broadcast 1-row frame — no driver collect. tf is
       // MATERIALIZED because three branches (score, df, n) hang off it —
       // unmaterialized, each re-tokenizes the whole corpus from the scan
-      // (the explain showed 3 Generate+scan chains for one logical pass)
+      // (the explain showed 3 Generate+scan chains for one logical pass).
+      // The idf is the RATIONAL form (N+1)/(df+1), not its log: +,*,/ are
+      // IEEE-correctly-rounded and bit-identical across engines, while ln is
+      // implemented by each engine's libm with only a ~1-ulp guarantee — the
+      // one arithmetic op that can flip a round(...,6) at the hash gate
+      // (the PortableHash rationale, applied to scoring)
       val tok = t(s, d, "documents").select(col("doc_id"),
         explode(filter(split(col("text"), " "), w => length(w) > 0)).as("term"))
       val tf = SimOps.materialize(
@@ -269,7 +274,7 @@ object SparkEntry {
       val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n"))
       val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
         .withColumn("tfidf", round(col("tf").cast("double") *
-          (log((col("n") + 1).cast("double") / (col("df") + 1).cast("double")) + 1.0), 6))
+          ((col("n") + 1).cast("double") / (col("df") + 1).cast("double")), 6))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
       scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
@@ -623,7 +628,7 @@ object SparkEntry {
           n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
           scored AS (SELECT doc_id, term,
                             round(CAST(tf AS DOUBLE) *
-                                  (ln(CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) + 1.0),
+                                  (CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)),
                                   6) AS tfidf
                      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
           SELECT doc_id, term, tfidf

@@ -151,6 +151,7 @@ object Multimodal {
       moov <- top.iterator if moov._1 == "moov"
       trak <- boxesIn(moov._2, moov._3).iterator if trak._1 == "trak"
       tkhd <- child(trak, "tkhd").iterator
+      if tkhd._2 < tkhd._3               // a zero-length tkhd has no version byte
       version = bytes(tkhd._2) & 0xFF
       dimOff = tkhd._2 + (if (version == 1) 88 else 76)
       if dimOff + 8 <= tkhd._3

@@ -203,6 +203,14 @@ final class LakeTable(val spark: SparkSession, val dir: String,
     * version, after which this throws (segment manifest or data files GC'd). */
   def readAsOf(version: Long): DataFrame = {
     val s = snapshotAt(version)
+    // fail loudly if vacuum already expired this version's data files: segment
+    // manifests are checked strictly by snapshotAt, but an INLINE (unsegmented)
+    // snapshot lists files whose absence would otherwise surface as a scan-time
+    // path error — or, under spark.sql.files.ignoreMissingFiles=true, as a
+    // silently PARTIAL historical state, the worst possible failure mode
+    val missing = s.files.count(f => !io.exists(s"$dir/${f.path}"))
+    if (missing > 0) throw new IllegalStateException(
+      s"snapshot v$version references $missing data file(s) already vacuumed")
     readFiles(s, s.files)
   }
 

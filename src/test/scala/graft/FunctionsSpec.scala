@@ -378,8 +378,10 @@ class FunctionsSpec extends SparkSpec {
     assert(counts("train") / total > 0.85 && counts("train") / total < 0.95,
       s"train share off 90%: $counts")
     assert(counts.getOrElse("val", 0L) > 0 && counts.getOrElse("test", 0L) > 0)
-    // buckets span [0, 100) and the assignment is partitioning-invariant
-    assert(assigned.agg(min("bucket"), max("bucket")).collect()(0).getLong(1) < 100)
+    // buckets span [0, 100) — pmod, not %, so no negative buckets — and the
+    // assignment is partitioning-invariant
+    val mm = assigned.agg(min("bucket"), max("bucket")).collect()(0)
+    assert(mm.getLong(0) >= 0 && mm.getLong(1) < 100)
     val again = corpus.repartition(7)
       .withColumn("bucket", TextOps.splitBucket(col("text")))
       .withColumn("split", TextOps.splitName(col("bucket")))
@@ -510,6 +512,12 @@ class FunctionsSpec extends SparkSpec {
     assert(Multimodal.parseMp4(box("moov", stszTrak(10, 10, 1))) === None)
     assert(Multimodal.parseMp4(mp4.take(20)) === None)
     assert(Multimodal.parseMp4("GIF89a-not-an-mp4-at-all".getBytes) === None)
+    // malformed boxes must yield None, never throw (one corrupt payload would
+    // otherwise fail the whole decode task): zero-length tkhd, truncated dims
+    val emptyTkhd = ftyp ++ box("moov", box("trak", box("tkhd", Array.empty[Byte])))
+    assert(Multimodal.parseMp4(emptyTkhd) === None)
+    val shortTkhd = ftyp ++ box("moov", box("trak", box("tkhd", new Array[Byte](40))))
+    assert(Multimodal.parseMp4(shortTkhd) === None)
     def gif(w: Int, h: Int): Array[Byte] =
       "GIF89a".getBytes ++ Array((w & 0xFF).toByte, ((w >> 8) & 0xFF).toByte,
         (h & 0xFF).toByte, ((h >> 8) & 0xFF).toByte)

@@ -75,20 +75,26 @@ class MaintainSpec extends SparkSpec {
     val dir = tmpDir("timetravel")
     val t = LakeTable.create(spark, dir, CdcMerge.physicalSchema(Schemas.transcript), 8)
     val epochs = (0 until 3).map { e =>
-      ChangeGen.events(spark, 800L, numConvs = 10, maxTurns = 5, pDelete = 0.1,
+      val ev = ChangeGen.events(spark, 800L, numConvs = 10, maxTurns = 5, pDelete = 0.1,
         seed = e + 1L, lsnStart = e * 10000L)
+      // epoch 2 EVOLVES the schema, so historical reads must show the old shape
+      if (e == 2) ev.withColumn("tool_version", concat(lit("v"), col("lsn") % 3)) else ev
     }
     val versionAfter = epochs.zipWithIndex.map { case (ev, e) =>
       CdcMerge.applyBatch(t, ev, e.toLong, "q"); t.snapshot.version
     }
     // each historical version equals the LWW oracle over its event prefix
     versionAfter.zipWithIndex.foreach { case (v, e) =>
-      val prefix = epochs.take(e + 1).reduce(_.unionByName(_))
+      val prefix = epochs.take(e + 1)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
       assert(Oracle.diff(CdcMerge.stateAsOf(t, v), Oracle.expectedState(prefix)).isEmpty,
         s"time-travel state at v$v diverges from the epoch-${e} oracle")
     }
-    // the snapshot metadata rides along (schema of the day, not today's)
-    assert(t.snapshotAt(versionAfter.head).schema === t.schema)
+    // schema OF THE DAY: pre-evolution versions read without the late column,
+    // today's table has it
+    assert(!t.snapshotAt(versionAfter(1)).schema.fieldNames.contains("tool_version"))
+    assert(!t.readAsOf(versionAfter(1)).columns.contains("tool_version"))
+    assert(t.schema.fieldNames.contains("tool_version"))
     // a never-committed version fails loudly, not with a silent empty frame
     intercept[IllegalStateException] { t.readAsOf(9999L) }
   }
