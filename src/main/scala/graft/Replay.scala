@@ -10,7 +10,7 @@ import graft.streaming.CdcStream
   *
   * {{{
   *   Replay gen  <srcDir> <epochs> <eventsPerEpoch> [numConvs] [hotShare] [pDelete]
-  *   Replay run  <srcDir> <tableDir> <ckptDir> [queryId] [numBuckets] [maxFilesPerTrigger] [neardupIndexDir]
+  *   Replay run  <srcDir> <tableDir> <ckptDir> [queryId] [numBuckets] [maxFilesPerTrigger] [neardupIndexDir] [contamBenchDir]
   *   Replay show <tableDir> [n]
   *   Replay showAt <tableDir> <version> [n]   // time travel
   *   Replay lineage <tableDir> <queryId>
@@ -41,11 +41,12 @@ object Replay {
       val buckets = rest.lift(1).map(_.toInt).getOrElse(64)
       val mft = rest.lift(2).map(_.toInt)
       val ndIdx = rest.lift(3) // optional: maintain a near-dup LSH index here
+      val contam = rest.lift(4) // optional: benchmark gram parquet → _contam flags
       val t0 = System.nanoTime()
       CdcStream.runAvailable(spark, CdcStream.Config(
         sourceDir = src, tableDir = table, checkpointDir = ckpt,
         queryId = queryId, numBuckets = buckets, maxFilesPerTrigger = mft,
-        neardupIndexDir = ndIdx))
+        neardupIndexDir = ndIdx, contamBenchDir = contam))
       val secs = (System.nanoTime() - t0) / 1e9
       val t = LakeTable.load(spark, table)
       println(f"replay done in $secs%.1fs; table rows=${CdcMerge.state(t).count()} " +

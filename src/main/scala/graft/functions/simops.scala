@@ -140,14 +140,32 @@ object SimOps {
     * before any shuffle), and only surviving (id, 8-byte hash) rows shuffle
     * for the per-document distinct count. Never a document-pair join. */
   def contaminationCounts(corpus: DataFrame, bench: DataFrame, idCol: String,
-                          textCol: String, n: Int = 3): DataFrame = {
-    val benchGrams = shingleRows(bench, idCol, textCol, n)
+                          textCol: String, n: Int = 3): DataFrame =
+    contaminationAgainst(corpus, benchGrams(bench, idCol, textCol, n),
+      Seq(idCol), textCol, n)
+
+  /** The benchmark side of decontamination as a standalone artifact: the
+    * DISTINCT hashed n-gram set of an eval suite. Compute once, persist as a
+    * parquet of `_h` longs, reuse across every batch/stream that screens
+    * against that benchmark. */
+  def benchGrams(bench: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3): DataFrame =
+    shingleRows(bench, idCol, textCol, n)
       .select(md5Long(col("_sh")).as("_h")).distinct()
-    shingleRows(corpus, idCol, textCol, n)
-      .select(col(idCol), md5Long(col("_sh")).as("_h"))
-      .join(broadcast(benchGrams), Seq("_h"), "left_semi")
-      .dropDuplicates(idCol, "_h")
-      .groupBy(idCol).agg(count(lit(1)).as("overlap_ngrams"))
+
+  /** [[contaminationCounts]] against a PRECOMPUTED gram-hash set (column `_h`),
+    * keyed by arbitrary columns — the form the CDC stream uses: the benchmark
+    * hashes once at setup and each microbatch pays only its own shingling. */
+  def contaminationAgainst(corpus: DataFrame, grams: DataFrame,
+                           keyCols: Seq[String], textCol: String,
+                           n: Int = 3): DataFrame = {
+    val keyed = corpus.select(struct(keyCols.map(col): _*).as("_key"), col(textCol))
+    shingleRows(keyed, "_key", textCol, n)
+      .select(col("_key"), md5Long(col("_sh")).as("_h"))
+      .join(broadcast(grams.select(col("_h"))), Seq("_h"), "left_semi")
+      .dropDuplicates("_key", "_h")
+      .groupBy("_key").agg(count(lit(1)).as("overlap_ngrams"))
+      .select(keyCols.map(k => col(s"_key.$k").as(k)) :+ col("overlap_ngrams"): _*)
   }
 
   /** Cosine similarity of two float vectors via the native codegen'd

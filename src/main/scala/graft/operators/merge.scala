@@ -317,4 +317,9 @@ object CdcMerge {
   /** Dead-letter table (reference analog: EK_REJECTED_OBSERVATION_FACT). */
   def rejects(table: LakeTable, queryId: String): DataFrame =
     table.spark.read.parquet(s"${table.dir}/_rejects/q=$queryId/e=*")
+
+  /** Ingest-time contamination flags (CdcStream.Config.contamBenchDir):
+    * one row per event whose text overlapped the benchmark gram set. */
+  def contamination(table: LakeTable, queryId: String): DataFrame =
+    table.spark.read.parquet(s"${table.dir}/_contam/q=$queryId/e=*")
 }

@@ -35,7 +35,12 @@ object CdcStream {
       // the append — absorbed by NeardupIndex.load's idempotent-read dedup
       neardupIndexDir: Option[String] = None,
       neardupCfg: graft.operators.NeardupIndex.Config =
-        graft.operators.NeardupIndex.Config()
+        graft.operators.NeardupIndex.Config(),
+      // screen ingested text against a benchmark gram set (decontamination at
+      // ingest): a parquet of `_h` hashes (SimOps.benchGrams); flagged events
+      // land in the `_contam` sibling table, keyed (conv_id, turn_idx, lsn)
+      contamBenchDir: Option[String] = None,
+      contamN: Int = 3
   )
 
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
@@ -64,6 +69,19 @@ object CdcStream {
         cfg.neardupIndexDir.foreach { dir =>
           if (epochId > table.appliedEpoch(cfg.queryId))
             graft.operators.NeardupIndex.appendBatch(dir, batch, cfg.neardupCfg)
+        }
+        // Decontamination at ingest: per-epoch OVERWRITE makes a redelivered
+        // epoch rewrite the same _contam partition — idempotent without locks
+        // (the _rejects/_lineage sibling-table pattern).
+        cfg.contamBenchDir.foreach { bdir =>
+          if (epochId > table.appliedEpoch(cfg.queryId)) {
+            val grams = batch.sparkSession.read.parquet(bdir)
+            graft.functions.SimOps
+              .contaminationAgainst(batch.filter(batch("text").isNotNull),
+                grams, Seq("conv_id", "turn_idx", "lsn"), "text", cfg.contamN)
+              .write.mode("overwrite")
+              .parquet(s"${cfg.tableDir}/_contam/q=${cfg.queryId}/e=$epochId")
+          }
         }
         CdcMerge.applyBatch(table, batch, epochId, cfg.queryId, mode = cfg.mergeMode,
           knownRoles = cfg.knownRoles)

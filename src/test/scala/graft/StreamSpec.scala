@@ -260,6 +260,50 @@ class StreamSpec extends SparkSpec {
     assert(ids2 === ids + "c4#1#6")
   }
 
+  test("streaming decontamination guard: flagged events equal the batch recompute") {
+    import graft.functions.SimOps
+    val src = tmpDir("ct-src"); val tbl = tmpDir("ct-tbl"); val ckpt = tmpDir("ct-ck")
+    val bdir = tmpDir("ct-bench")
+    import spark.implicits._
+    def ev(conv: String, turn: Int, text: String, op: String, lsn: Long) =
+      (conv, turn, "user", text, null: String,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), op, lsn)
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts", "op", "lsn")
+    // benchmark = one eval doc; its 3-gram hashes persist once as the gram set
+    val bench = Seq((1L, "held out eval answer about spark shuffles")).toDF("doc_id", "text")
+    SimOps.benchGrams(bench, "doc_id", "text", n = 3)
+      .write.mode("overwrite").parquet(bdir)
+    Seq(ev("c1", 0, "prefix held out eval answer embedded here", "I", 1L), // overlaps
+        ev("c2", 0, "totally clean conversation text with no overlap", "I", 2L))
+      .toDF(cols: _*).repartition(1).write.parquet(s"$src/e0")
+    Seq(ev("c3", 0, "the eval answer about spark shuffles verbatim", "I", 3L), // overlaps
+        ev("c1", 0, null, "D", 4L)) // delete (null text) must not crash the guard
+      .toDF(cols: _*).repartition(1).write.parquet(s"$src/e1")
+    CdcStream.runAvailable(spark, CdcStream.Config(src, tbl, ckpt, queryId = "ct",
+      numBuckets = 8, maxFilesPerTrigger = Some(1), contamBenchDir = Some(bdir)))
+    val t = LakeTable.load(spark, tbl)
+    val flagged = CdcMerge.contamination(t, "ct")
+      .select("conv_id", "turn_idx", "lsn", "overlap_ngrams")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // the stream's per-epoch flags equal one batch pass over all events
+    val all = spark.read.parquet(s"$src/e0", s"$src/e1").filter(col("text").isNotNull)
+    val batchFlags = SimOps.contaminationAgainst(all,
+        spark.read.parquet(bdir), Seq("conv_id", "turn_idx", "lsn"), "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(flagged === batchFlags)
+    assert(flagged.keySet.map(_._1) === Set("c1", "c3"), s"flagged: $flagged")
+    // redelivered epoch (crash before the merge commit): the per-epoch
+    // overwrite absorbs the rewrite — flags unchanged
+    SimOps.contaminationAgainst(
+        spark.read.parquet(s"$src/e1").filter(col("text").isNotNull),
+        spark.read.parquet(bdir), Seq("conv_id", "turn_idx", "lsn"), "text", n = 3)
+      .write.mode("overwrite").parquet(s"$tbl/_contam/q=ct/e=1")
+    val again = CdcMerge.contamination(t, "ct")
+      .select("conv_id", "turn_idx", "lsn", "overlap_ngrams")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(again === flagged)
+  }
+
   test("crash orphans: data files written without a manifest commit are invisible and harmless") {
     val dir = tmpDir("orph")
     val t = LakeTable.create(spark, dir, CdcMerge.physicalSchema(Schemas.transcript), 8)
