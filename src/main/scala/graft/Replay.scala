@@ -37,11 +37,15 @@ object Replay {
 
     case "run" :: src :: table :: ckpt :: rest =>
       val spark = session()
-      val queryId = rest.headOption.getOrElse("graft")
-      val buckets = rest.lift(1).map(_.toInt).getOrElse(64)
-      val mft = rest.lift(2).map(_.toInt)
-      val ndIdx = rest.lift(3) // optional: maintain a near-dup LSH index here
-      val contam = rest.lift(4) // optional: benchmark gram parquet → _contam flags
+      // "" for any optional positional means "skip it" (lets a caller set a
+      // later option without the earlier ones — an empty index dir otherwise
+      // writes the index at the filesystem root)
+      def opt(i: Int): Option[String] = rest.lift(i).filter(_.nonEmpty)
+      val queryId = opt(0).getOrElse("graft")
+      val buckets = opt(1).map(_.toInt).getOrElse(64)
+      val mft = opt(2).map(_.toInt)
+      val ndIdx = opt(3) // optional: maintain a near-dup LSH index here
+      val contam = opt(4) // optional: benchmark gram parquet → _contam flags
       val t0 = System.nanoTime()
       CdcStream.runAvailable(spark, CdcStream.Config(
         sourceDir = src, tableDir = table, checkpointDir = ckpt,
