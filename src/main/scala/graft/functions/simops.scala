@@ -512,14 +512,20 @@ object SimOps {
     val scored = materialize(base.crossJoin(centroids)
       .select(col(idCol), col("_cid"), cc.as("_cc")))
     val wAssign = Window.partitionBy(idCol).orderBy(col("_cc").desc, col("_cid"))
-    val assign = scored
+    // ONE ranking pass serves both the assignment (rank 1) and the probe list
+    // (rank ≤ nProbe): the window sort over the n×c score cross is the
+    // quantizer's dominant shuffle — materializing the ranked (id, cid, rn)
+    // triples (tiny: n×nProbe rows) halves it vs ranking once per branch
+    val ranked = materialize(scored
       .withColumn("_rn", row_number().over(wAssign))
+      .filter(col("_rn") <= nProbe)
+      .select(col(idCol), col("_cid"), col("_rn")))
+    val assign = ranked
       .filter(col("_rn") === 1).select(col(idCol), col("_cid"))
       .join(base, Seq(idCol))
       .select(col(idCol), col(vecCol), col("_nrm"), col("_cid"))
-    val probes = scored
-      .withColumn("_rn", row_number().over(wAssign))
-      .filter(col("_rn") <= nProbe).select(col(idCol), col("_cid"))
+    val probes = ranked
+      .select(col(idCol), col("_cid"))
       .join(base, Seq(idCol))
       .select(col(idCol).as("_qid"), col(vecCol).as("_qv"), col("_nrm").as("_qn"),
         col("_cid"))
