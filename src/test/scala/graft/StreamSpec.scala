@@ -88,6 +88,40 @@ class StreamSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 10:05:00", "user", 1L)))
   }
 
+  test("streaming quality monitor equals its batch twin per finalized window") {
+    import spark.implicits._
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)](
+      implicitly[org.apache.spark.sql.Encoder[(java.sql.Timestamp, String)]], spark)
+    val events = ms.toDF().toDF("ts", "text")
+    val q = StreamAnalytics.qualityMonitor(events, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("qm").outputMode("append").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val good = "the quick brown fox jumps over the lazy dog and then some more " * 2
+    val batch1 = Seq((t(0), good), (t(1), "tiny"), (t(2), null: String), (t(6), good))
+    try {
+      ms.addData(batch1: _*)
+      q.processAllAvailable()
+      ms.addData((t(59), good)) // advance the watermark; earlier windows finalize
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("qm")
+      .select(col("w_start").cast("string"), col("n_events"), col("n_null_text"),
+        col("avg_quality"), col("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    // the batch twin over the same finalized-window events (same code path —
+    // the watermark is a no-op on batch input)
+    val expected = StreamAnalytics.qualityMonitor(batch1.toDF("ts", "text"))
+      .select(col("w_start").cast("string"), col("n_events"), col("n_null_text"),
+        col("avg_quality"), col("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(expected.subsetOf(streamed), s"streamed=$streamed expected=$expected")
+    // null text counts as an event with zero tokens, not a quality sample
+    val w0 = streamed.find(_._1 == "2024-01-01 10:00:00").get
+    assert(w0._2 === 3L && w0._3 === 1L && w0._5 > 0L)
+  }
+
   test("flatMapGroupsWithState sessionizer: gap splits, cross-batch state, timeout emission") {
     import spark.implicits._
     val gapMs = 30 * 60 * 1000L
