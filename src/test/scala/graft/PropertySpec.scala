@@ -130,6 +130,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: contamination counts equal the brute-force set intersection") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.SimOps
+    docCases(3).zipWithIndex.foreach { case (docs, i) =>
+      val df = docs.toDF("doc_id", "text")
+      val corpus = df.filter(col("doc_id") % 2 === 0)
+      val bench = df.filter(col("doc_id") % 2 =!= 0)
+      val got = SimOps.contaminationCounts(corpus, bench, "doc_id", "text", n = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute force: |distinct corpus-doc 2-grams ∩ union of bench 2-grams|
+      def grams(t: String): Set[String] = {
+        val tk = t.split(" ").filter(_.nonEmpty).toSeq
+        if (tk.isEmpty) Set.empty
+        else (0 to math.max(tk.size - 2, 0)).map(j => tk.slice(j, j + 2).mkString(" ")).toSet
+      }
+      val benchSet = docs.filter(_._1 % 2 != 0).flatMap(d => grams(d._2)).toSet
+      val brute = docs.filter(_._1 % 2 == 0)
+        .map { case (id, t) => id -> (grams(t) & benchSet).size.toLong }
+        .filter(_._2 > 0).toMap
+      assert(got === brute, s"case $i: engine=$got brute=$brute")
+    }
+  }
+
+  test("property: media header parsers never throw on arbitrary or mutated bytes") {
+    import graft.functions.Multimodal
+    val rnd = new scala.util.Random(4242)
+    // a well-formed mp4 to mutate (same construction as the FunctionsSpec fixture)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val size = 8 + payload.length
+      Array(((size >> 24) & 0xFF).toByte, ((size >> 16) & 0xFF).toByte,
+        ((size >> 8) & 0xFF).toByte, (size & 0xFF).toByte) ++
+        typ.getBytes("ISO-8859-1") ++ payload
+    }
+    def be32a(v: Int) = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val mp4 = box("ftyp", "isom".getBytes ++ new Array[Byte](4)) ++
+      box("moov", box("trak",
+        box("tkhd", new Array[Byte](76) ++ be32a(640 << 16) ++ be32a(480 << 16)) ++
+          box("mdia", box("minf", box("stbl",
+            box("stsz", new Array[Byte](8) ++ be32a(10)))))))
+    def mustNotThrow(b: Array[Byte]): Unit = {
+      Multimodal.parseMp4(b); Multimodal.parseGif(b); Multimodal.parsePng(b)
+      Multimodal.parseJpeg(b); Multimodal.parseBmp(b); Multimodal.parseWav(b)
+      ()
+    }
+    (1 to 300).foreach { _ =>               // pure noise of random lengths
+      val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b); mustNotThrow(b)
+    }
+    (1 to 300).foreach { _ =>               // valid mp4 with random point mutations
+      val b = mp4.clone()
+      (1 to 1 + rnd.nextInt(6)).foreach(_ => b(rnd.nextInt(b.length)) = rnd.nextInt().toByte)
+      mustNotThrow(b)
+    }
+    (0 to mp4.length).foreach(k => mustNotThrow(mp4.take(k))) // every truncation
+    assert(Multimodal.parseMp4(mp4) === Some((640, 480, 10))) // the fixture itself parses
+  }
+
   test("property: simhash band blocking finds EXACTLY the pairs with hamming ≤ 3") {
     import spark.implicits._
     import graft.functions.SimOps
