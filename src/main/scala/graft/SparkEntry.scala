@@ -280,6 +280,15 @@ object SparkEntry {
       scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
         .select(col("doc_id"), col("term"), col("tfidf"))
     }),
+    "q_ngram_topk" -> ((s, d) => {
+      // corpus-wide top-20 word bigrams: one shingle pass, one
+      // map-side-combinable count, one global top-k (ORDER BY + LIMIT compiles
+      // to TakeOrderedAndProject — each partition forwards only its local
+      // top-20, never a full sort of the vocabulary)
+      SimOps.shingleRows(t(s, d, "documents"), "doc_id", "text", 2)
+        .groupBy(col("_sh").as("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20)
+    }),
     "q_sample_strat" -> ((s, d) =>
       // deterministic stratified downsampling (language rebalancing): keep
       // 50% of 'en' and 10% of every other stratum by CONTENT-hash bucket —
@@ -637,6 +646,15 @@ object SparkEntry {
                                           ORDER BY tfidf DESC, term) AS rn
                 FROM scored)
           WHERE rn = 1""",
+    "q_ngram_topk" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+                     FROM documents),
+          g AS (SELECT unnest(list_transform(
+                         range(0, greatest(len(tk) - 2, 0) + 1),
+                         i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))) AS bigram
+                FROM tk WHERE len(tk) > 0)
+          SELECT bigram, count(*) AS n FROM g
+          GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""",
     "q_sample_strat" ->
       """SELECT doc_id, lang,
                 CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 AS bucket
