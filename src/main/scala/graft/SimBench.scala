@@ -12,23 +12,28 @@ import graft.functions.SimOps
   * `SIM n=<docs> wall=<s> pairs=<verified>` (best-of-k in one JVM; per-run
   * clearCache so materialized fragments never masquerade as plan speed).
   *
-  * Usage: run_graft.sh graft.SimBench [repeats]
+  * Usage: run_graft.sh graft.SimBench [repeats] [factor,factor,...]
+  * (factor f replicates the corpus f×; default "1,10")
   */
 object SimBench {
   def main(args: Array[String]): Unit = {
     val repeats = args.headOption.map(_.toInt).getOrElse(2)
+    val factors = args.lift(1).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 10))
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val docs = spark.read
       .parquet(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1") +
         "/documents.parquet")
       .select("doc_id", "text")
-    val replicas = docs.crossJoin(spark.range(10).select(col("id").as("_r")))
-      .select((col("doc_id") * 10 + col("_r")).as("doc_id"),
-        concat_ws(" ", col("text"),
-          concat_ws(" ", (1 to 9).map(i =>
-            when(col("_r") >= i, concat(lit(s"marker$i"), col("doc_id")))): _*))
-          .as("text"))
-    Seq(docs, replicas).foreach { d =>
+    def corpusOf(f: Int) =
+      if (f <= 1) docs
+      else docs.crossJoin(spark.range(f).select(col("id").as("_r")))
+        .select((col("doc_id") * f + col("_r")).as("doc_id"),
+          concat_ws(" ", col("text"),
+            concat_ws(" ", (1 until f).map(i =>
+              when(col("_r") >= i, concat(lit(s"marker$i"), col("doc_id")))): _*))
+            .as("text"))
+    factors.foreach { f =>
+      val d = corpusOf(f)
       val n = d.count()
       val runs = (1 to repeats).map { _ =>
         spark.catalog.clearCache()
