@@ -14,9 +14,16 @@ import graft.functions.SimOps
   *
   * Usage: run_graft.sh graft.SimBench [repeats] [factor,factor,...]
   * (factor f replicates the corpus f×; default "1,10")
+  * ANN mode: run_graft.sh graft.SimBench ann [repeats] [factor,...] — times
+  * `SimOps.annTopK` (corpus-sized planes via planesFor, capped index buckets)
+  * on f× replicated embeddings, each replica slightly scaled+shifted so
+  * neighbor structure is real. Prints `ANN n=<vecs> planes=<p> wall=<s>
+  * rows=<topk rows>` — the probe for "does the embedding-LSH family stay
+  * bucket-bounded as the corpus grows" (round-2 verdict's weak spot).
   */
 object SimBench {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("ann")) { annMain(args.drop(1)); return }
     val repeats = args.headOption.map(_.toInt).getOrElse(2)
     val factors = args.lift(1).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 10))
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
@@ -43,6 +50,40 @@ object SimBench {
         ((System.nanoTime() - t0) / 1e9, pairs)
       }
       println(f"SIM n=$n wall=${runs.map(_._1).min}%.2f pairs=${runs.head._2}")
+    }
+    spark.stop()
+  }
+
+  private def annMain(args: Array[String]): Unit = {
+    val repeats = args.headOption.map(_.toInt).getOrElse(2)
+    val factors = args.lift(1).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 10))
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val vecs = spark.read
+      .parquet(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1") +
+        "/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // replica r scales the vector by (1 + r/1000) and shifts dim 0 — same
+    // direction family (the replicas ARE each other's nearest neighbors), so
+    // bucket population and candidate volume carry real neighbor structure
+    def corpusOf(f: Int) =
+      if (f <= 1) vecs
+      else vecs.crossJoin(spark.range(f).select(col("id").as("_r")))
+        .select((col("vec_id") * f + col("_r")).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => (x * (lit(1.0f) + col("_r").cast("float") / 1000.0f) +
+              when(i === 0, col("_r").cast("float") / 100.0f).otherwise(0.0f))
+              .cast("float")).as("embedding"))
+    factors.foreach { f =>
+      val d = corpusOf(f)
+      val n = d.count()
+      val planes = SimOps.planesFor(n)
+      val runs = (1 to repeats).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val rows = SimOps.annTopK(d, "vec_id", "embedding").count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      println(f"ANN n=$n planes=$planes wall=${runs.map(_._1).min}%.2f rows=${runs.head._2}")
     }
     spark.stop()
   }
