@@ -13,6 +13,7 @@ import graft.streaming.CdcStream
   *   Replay run  <srcDir> <tableDir> <ckptDir> [queryId] [numBuckets] [maxFilesPerTrigger] [neardupIndexDir] [contamBenchDir]
   *   Replay show <tableDir> [n]
   *   Replay showAt <tableDir> <version> [n]   // time travel
+  *   Replay curate <tableDir> <outDir> [minQuality] [benchGramsDir]
   *   Replay lineage <tableDir> <queryId>
   * }}}
   * Local testing uses `local[N]` via SPARK_GRAFT_CPUS; under spark-submit the
@@ -109,6 +110,37 @@ object Replay {
       val t = LakeTable.load(spark, table)
       val n = graft.operators.Maintain.vacuum(t, rest.headOption.map(_.toInt).getOrElse(3))
       println(s"vacuumed $n orphan/expired files")
+      spark.stop()
+
+    case "curate" :: table :: out :: rest =>
+      // The engine's end product in one command: LWW-resolved state →
+      // decontaminate (optional benchmark gram parquet) → quality gate →
+      // deterministic split → parquet partitioned by split. Every stage is
+      // the same operator the queries/specs verify; this just composes them.
+      val spark = session()
+      val minQuality = rest.headOption.map(_.toDouble).getOrElse(0.0)
+      val grams = rest.lift(1).filter(_.nonEmpty)
+      val t = LakeTable.load(spark, table)
+      val state = CdcMerge.state(t)
+      val contaminated = grams.map { g =>
+        graft.functions.SimOps.contaminationAgainst(
+          state, spark.read.parquet(g), Seq("conv_id", "turn_idx"), "text")
+          .select("conv_id", "turn_idx")
+      }
+      val clean = contaminated.foldLeft(state)((s, c) =>
+        s.join(c, Seq("conv_id", "turn_idx"), "left_anti"))
+      val curated = clean
+        .withColumn("quality", graft.functions.TextOps.qualityScore(
+          org.apache.spark.sql.functions.col("text")))
+        .filter(org.apache.spark.sql.functions.col("quality") >= minQuality)
+        .withColumn("split", graft.functions.TextOps.splitName(
+          graft.functions.TextOps.splitBucket(
+            org.apache.spark.sql.functions.col("text"))))
+      curated.write.mode("overwrite").partitionBy("split").parquet(out)
+      val counts = spark.read.parquet(out).groupBy("split").count()
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"curated ${out}: $counts (from ${state.count()} resolved rows; " +
+        s"minQuality=$minQuality decontam=${grams.isDefined})")
       spark.stop()
 
     case "lineage" :: table :: queryId :: Nil =>
