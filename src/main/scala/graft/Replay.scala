@@ -121,26 +121,13 @@ object Replay {
       val minQuality = rest.headOption.map(_.toDouble).getOrElse(0.0)
       val grams = rest.lift(1).filter(_.nonEmpty)
       val t = LakeTable.load(spark, table)
-      val state = CdcMerge.state(t)
-      val contaminated = grams.map { g =>
-        graft.functions.SimOps.contaminationAgainst(
-          state, spark.read.parquet(g), Seq("conv_id", "turn_idx"), "text")
-          .select("conv_id", "turn_idx")
-      }
-      val clean = contaminated.foldLeft(state)((s, c) =>
-        s.join(c, Seq("conv_id", "turn_idx"), "left_anti"))
-      val curated = clean
-        .withColumn("quality", graft.functions.TextOps.qualityScore(
-          org.apache.spark.sql.functions.col("text")))
-        .filter(org.apache.spark.sql.functions.col("quality") >= minQuality)
-        .withColumn("split", graft.functions.TextOps.splitName(
-          graft.functions.TextOps.splitBucket(
-            org.apache.spark.sql.functions.col("text"))))
-      curated.write.mode("overwrite").partitionBy("split").parquet(out)
+      graft.operators.Curate
+        .curated(t, grams.map(g => spark.read.parquet(g)), minQuality)
+        .write.mode("overwrite").partitionBy("split").parquet(out)
       val counts = spark.read.parquet(out).groupBy("split").count()
         .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
-      println(s"curated ${out}: $counts (from ${state.count()} resolved rows; " +
-        s"minQuality=$minQuality decontam=${grams.isDefined})")
+      println(s"curated ${out}: $counts (from ${CdcMerge.state(t).count()} resolved " +
+        s"rows; minQuality=$minQuality decontam=${grams.isDefined})")
       spark.stop()
 
     case "lineage" :: table :: queryId :: Nil =>

@@ -99,6 +99,43 @@ class MaintainSpec extends SparkSpec {
     intercept[IllegalStateException] { t.readAsOf(9999L) }
   }
 
+  test("curate: state minus contaminated minus low-quality, split appended") {
+    import spark.implicits._
+    import graft.functions.SimOps
+    import graft.operators.Curate
+    val dir = tmpDir("curate")
+    val t = LakeTable.create(spark, dir, CdcMerge.physicalSchema(Schemas.transcript), 8)
+    def ev(conv: String, turn: Int, text: String, lsn: Long) =
+      (conv, turn, "user", text, null: String,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "I", lsn)
+    val rich = ("the quick brown fox jumps over the lazy dog and some more words " * 3).trim
+    val events = Seq(
+      ev("c1", 0, rich, 1L),                              // high quality, clean
+      ev("c2", 0, "held out eval answer about spark", 2L), // contaminated
+      ev("c3", 0, "tiny", 3L),                            // low quality (0.2)
+      ev("c4", 0, rich + " extra tail tokens here", 4L))  // high quality, clean
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "op", "lsn")
+    CdcMerge.applyBatch(t, events, 0L, "q")
+    val grams = SimOps.benchGrams(
+      Seq((1L, "held out eval answer about spark shuffles")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val cur = Curate.curated(t, Some(grams), minQuality = 0.5)
+    val kept = cur.select("conv_id").collect().map(_.getString(0)).toSet
+    assert(kept === Set("c1", "c4")) // c2 contaminated out, c3 quality-gated out
+    // quality and split columns equal their operator recomputes
+    cur.collect().foreach { r =>
+      val text = r.getAs[String]("text")
+      val expect = spark.range(1).select(
+        graft.functions.TextOps.qualityScore(lit(text)).as("q"),
+        graft.functions.TextOps.splitName(
+          graft.functions.TextOps.splitBucket(lit(text))).as("s")).collect()(0)
+      assert(r.getAs[Double]("quality") === expect.getDouble(0))
+      assert(r.getAs[String]("split") === expect.getString(1))
+    }
+    // no benchmark and no gate → exactly the resolved state, columns appended
+    assert(Curate.curated(t).count() === CdcMerge.state(t).count())
+  }
+
   test("scoped deleteWhere removes only matching rows, copy-on-write") {
     val (t, ev) = loaded("scoped")
     val before = CdcMerge.state(t).count()
