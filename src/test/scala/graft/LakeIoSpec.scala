@@ -30,6 +30,24 @@ class LakeIoSpec extends SparkSpec {
     assert(states(0) === states(1))
   }
 
+  test("time travel through HadoopLakeIO equals NioLakeIO per version") {
+    val ev0 = ChangeGen.events(spark, 1500L, numConvs = 25, maxTurns = 6, pDelete = 0.1)
+    val ev1 = ChangeGen.events(spark, 1500L, numConvs = 25, maxTurns = 6, pDelete = 0.1,
+      seed = 11L, lsnStart = 5000L)
+    val perVersion = Seq(("nio", NioLakeIO: graft.sources.LakeIO), ("hdp", hio)).map {
+      case (tag, io) =>
+        val t = LakeTable.create(spark, tmpDir(s"lakeio-tt-$tag"),
+          CdcMerge.physicalSchema(Schemas.transcript), numBuckets = 8, io = io)
+        CdcMerge.applyBatch(t, ev0, 0L, "q")
+        val vMid = t.snapshot.version
+        CdcMerge.applyBatch(t, ev1, 1L, "q")
+        (CdcMerge.stateAsOf(t, vMid).orderBy("conv_id", "turn_idx").collect().toSeq,
+          CdcMerge.state(t).orderBy("conv_id", "turn_idx").collect().toSeq)
+    }
+    assert(perVersion(0) === perVersion(1))
+    assert(perVersion(0)._1 !== perVersion(0)._2) // the mid version is genuinely older
+  }
+
   test("HadoopLakeIO commit point rejects a duplicate manifest version") {
     val io = hio
     val t = LakeTable.create(spark, tmpDir("lakeio-dup"),
