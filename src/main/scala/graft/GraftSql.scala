@@ -37,7 +37,13 @@ object GraftSql {
 
   /** Register a LAKE table's user-visible (LWW-resolved, tombstone-filtered)
     * state as a temp view — SQL over the CDC target without knowing the
-    * manifest/merge machinery. */
+    * manifest/merge machinery.
+    *
+    * SNAPSHOT semantics, like any DataFrame-backed view: the view pins the
+    * manifest's file list at registration time. Commits after registration
+    * are not visible, and a later compaction+vacuum can delete the pinned
+    * files out from under it (reads then fail). Re-register after new
+    * commits or maintenance to advance the view to the current snapshot. */
   def registerLake(spark: SparkSession, tableDir: String, view: String): Unit =
     CdcMerge.state(LakeTable.load(spark, tableDir)).createOrReplaceTempView(view)
 

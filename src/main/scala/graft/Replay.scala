@@ -118,7 +118,8 @@ object Replay {
       // deterministic split → parquet partitioned by split. Every stage is
       // the same operator the queries/specs verify; this just composes them.
       val spark = session()
-      val minQuality = rest.headOption.map(_.toDouble).getOrElse(0.0)
+      // same convention as `run`: "" for an optional positional means skip
+      val minQuality = rest.headOption.filter(_.nonEmpty).map(_.toDouble).getOrElse(0.0)
       val grams = rest.lift(1).filter(_.nonEmpty)
       val t = LakeTable.load(spark, table)
       graft.operators.Curate

@@ -80,7 +80,10 @@ object SimBench {
       val runs = (1 to repeats).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        val rows = SimOps.annTopK(d, "vec_id", "embedding").count()
+        // planes passed explicitly: the default (-1) re-counts the corpus
+        // inside the timed window, and the printed planes must be the planes
+        // actually used
+        val rows = SimOps.annTopK(d, "vec_id", "embedding", planes = planes).count()
         ((System.nanoTime() - t0) / 1e9, rows)
       }
       println(f"ANN n=$n planes=$planes wall=${runs.map(_._1).min}%.2f rows=${runs.head._2}")

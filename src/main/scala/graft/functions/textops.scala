@@ -59,12 +59,16 @@ object TextOps {
   }
 
   /** Document quality score in [0,1]: length band + stopword presence − punctuation
-    * excess. Heuristic in the Gopher/C4 filtering tradition. */
+    * excess. Heuristic in the Gopher/C4 filtering tradition. NULL text scores
+    * NULL (not the 0.2 baseline): a contentless row is not a quality sample —
+    * without the outer guard every `when` condition on null goes to its 0.0
+    * branch but the unconditional baseline still adds, so a delete burst would
+    * read as a corpus-quality collapse on the streaming monitor. */
   def qualityScore(text: Column): Column = {
     val lenScore = when(length(text).between(50, 10000), 0.5).otherwise(0.0)
     val stopScore = when(stopwordRatio(text) > 0.01, 0.3).otherwise(0.0)
     val punctPenalty = when(punctRatio(text) > 0.1, 0.2).otherwise(0.0)
-    round(lenScore + stopScore + lit(0.2) - punctPenalty, 2)
+    when(text.isNotNull, round(lenScore + stopScore + lit(0.2) - punctPenalty, 2))
   }
 
   /** N-gram-heuristic language ID: scores each language by counts of its marker

@@ -20,11 +20,14 @@ object Curate {
 
   /** Curated frame: resolved rows minus contaminated keys (when `benchGrams`
     * is given — a `_h` gram-hash frame, see [[SimOps.benchGrams]]) minus rows
-    * below `minQuality`, with `quality` and `split` columns appended. */
+    * below `minQuality`, with `quality` and `split` columns appended.
+    * NULL-text rows are dropped up front: a contentless row has no quality
+    * sample and no content hash to split on (it would otherwise fall through
+    * the split CASE into `test`, polluting the eval split). */
   def curated(table: LakeTable, benchGrams: Option[DataFrame] = None,
               minQuality: Double = 0.0, keyCols: Seq[String] = Seq("conv_id", "turn_idx"),
               textCol: String = "text"): DataFrame = {
-    val state = CdcMerge.state(table)
+    val state = CdcMerge.state(table).filter(col(textCol).isNotNull)
     val clean = benchGrams.fold(state) { g =>
       val contaminated = SimOps
         .contaminationAgainst(state, g, keyCols, textCol)

@@ -47,6 +47,12 @@ object CdcStream {
     // Bootstrap the target before streaming so every batch sees a table.
     LakeTable.loadOrCreate(spark, cfg.tableDir,
       CdcMerge.physicalSchema(Schemas.payloadOf(cfg.schema)), cfg.numBuckets)
+    // The benchmark gram set is static for the life of the stream: load and
+    // persist it ONCE here, not inside foreachBatch — per-batch re-reads pay
+    // a file listing + parquet scan + broadcast build per epoch (thousands of
+    // times under maxFilesPerTrigger=1)
+    val benchGrams = cfg.contamBenchDir.map(d => spark.read.parquet(d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var reader = spark.readStream.schema(cfg.schema)
     cfg.maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
     val src = reader
@@ -73,9 +79,8 @@ object CdcStream {
         // Decontamination at ingest: per-epoch OVERWRITE makes a redelivered
         // epoch rewrite the same _contam partition — idempotent without locks
         // (the _rejects/_lineage sibling-table pattern).
-        cfg.contamBenchDir.foreach { bdir =>
+        benchGrams.foreach { grams =>
           if (epochId > table.appliedEpoch(cfg.queryId)) {
-            val grams = batch.sparkSession.read.parquet(bdir)
             graft.functions.SimOps
               .contaminationAgainst(batch.filter(batch("text").isNotNull),
                 grams, Seq("conv_id", "turn_idx", "lsn"), "text", cfg.contamN)

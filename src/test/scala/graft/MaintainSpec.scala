@@ -113,7 +113,8 @@ class MaintainSpec extends SparkSpec {
       ev("c1", 0, rich, 1L),                              // high quality, clean
       ev("c2", 0, "held out eval answer about spark", 2L), // contaminated
       ev("c3", 0, "tiny", 3L),                            // low quality (0.2)
-      ev("c4", 0, rich + " extra tail tokens here", 4L))  // high quality, clean
+      ev("c4", 0, rich + " extra tail tokens here", 4L),  // high quality, clean
+      ev("c5", 0, null, 5L))                              // contentless: never curated
       .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "op", "lsn")
     CdcMerge.applyBatch(t, events, 0L, "q")
     val grams = SimOps.benchGrams(
@@ -132,8 +133,12 @@ class MaintainSpec extends SparkSpec {
       assert(r.getAs[Double]("quality") === expect.getDouble(0))
       assert(r.getAs[String]("split") === expect.getString(1))
     }
-    // no benchmark and no gate → exactly the resolved state, columns appended
-    assert(Curate.curated(t).count() === CdcMerge.state(t).count())
+    // no benchmark and no gate → the resolved state minus contentless rows
+    // (null text has no quality sample and no content hash to split on)
+    assert(Curate.curated(t).count() ===
+      CdcMerge.state(t).filter(col("text").isNotNull).count())
+    assert(!Curate.curated(t).select("conv_id").collect()
+      .map(_.getString(0)).contains("c5"))
   }
 
   test("scoped deleteWhere removes only matching rows, copy-on-write") {

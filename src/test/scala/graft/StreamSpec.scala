@@ -117,9 +117,12 @@ class StreamSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getLong(4))).toSet
     assert(expected.subsetOf(streamed), s"streamed=$streamed expected=$expected")
-    // null text counts as an event with zero tokens, not a quality sample
-    val w0 = streamed.find(_._1 == "2024-01-01 10:00:00").get
+    // null text counts as an event with zero tokens, not a quality sample:
+    // avg_quality averages ONLY the two real texts (1.0 and 0.2) — were the
+    // null scored at the 0.2 baseline the window would read 0.4667
+    val w0 = streamed.find(_._1 === "2024-01-01 10:00:00").get
     assert(w0._2 === 3L && w0._3 === 1L && w0._5 > 0L)
+    assert(w0._4 === 0.6, s"delete events must not dilute avg_quality: $w0")
   }
 
   test("flatMapGroupsWithState sessionizer: gap splits, cross-batch state, timeout emission") {
