@@ -280,6 +280,37 @@ object SparkEntry {
       scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
         .select(col("doc_id"), col("term"), col("tfidf"))
     }),
+    "q_repetition" -> ((s, d) => {
+      // intra-document repetition (Gopher-style filter signal): 1 − distinct
+      // bigrams / total bigrams per doc. One shingle pass, one per-doc
+      // aggregate — count(distinct) over the doc's own bigrams is fine here
+      // because the group is a single document, never the corpus
+      SimOps.shingleRows(t(s, d, "documents"), "doc_id", "text", 2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          countDistinct(col("_sh")).as("n_distinct"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(lit(1.0) - col("n_distinct").cast("double")
+            / col("n_bigrams").cast("double"), 6).as("repetition"))
+    }),
+    "q_bigram_coverage" -> ((s, d) => {
+      // boilerplate detection: the share of a doc's DISTINCT bigrams that are
+      // corpus-common (appear in ≥ 5 documents). Two aggregates + one
+      // bigram-keyed equi-join — the common-bigram side is df-bounded
+      // three branches hang off the distinct shingle rows → materialize once
+      val sh = SimOps.materialize(
+        SimOps.shingleRows(t(s, d, "documents"), "doc_id", "text", 2)
+          .dropDuplicates("doc_id", "_sh"))
+      val common = sh.groupBy("_sh").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") >= 5).select("_sh")
+      sh.join(common, Seq("_sh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+        .join(sh.groupBy("doc_id").agg(count(lit(1)).as("n_distinct")),
+          Seq("doc_id"), "right_outer")
+        .select(col("doc_id"),
+          round(coalesce(col("n_common"), lit(0L)).cast("double")
+            / col("n_distinct").cast("double"), 6).as("boilerplate_share"))
+    }),
     "q_ngram_topk" -> ((s, d) => {
       // corpus-wide top-20 word bigrams: one shingle pass, one
       // map-side-combinable count, one global top-k (ORDER BY + LIMIT compiles
@@ -646,6 +677,32 @@ object SparkEntry {
                                           ORDER BY tfidf DESC, term) AS rn
                 FROM scored)
           WHERE rn = 1""",
+    "q_repetition" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+                     FROM documents),
+          g AS (SELECT doc_id,
+                       unnest(list_transform(
+                         range(0, greatest(len(tk) - 2, 0) + 1),
+                         i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))) AS bigram
+                FROM tk WHERE len(tk) > 0)
+          SELECT doc_id, count(*) AS n_bigrams,
+                 round(1.0 - CAST(count(DISTINCT bigram) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE), 6) AS repetition
+          FROM g GROUP BY doc_id""",
+    "q_bigram_coverage" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+                     FROM documents),
+          g AS (SELECT DISTINCT doc_id,
+                       unnest(list_transform(
+                         range(0, greatest(len(tk) - 2, 0) + 1),
+                         i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))) AS bigram
+                FROM tk WHERE len(tk) > 0),
+          common AS (SELECT bigram FROM g GROUP BY bigram HAVING count(*) >= 5)
+          SELECT doc_id,
+                 round(CAST(sum(CASE WHEN bigram IN (SELECT bigram FROM common)
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) AS boilerplate_share
+          FROM g GROUP BY doc_id""",
     "q_ngram_topk" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
                      FROM documents),
