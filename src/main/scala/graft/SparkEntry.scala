@@ -295,20 +295,20 @@ object SparkEntry {
     }),
     "q_bigram_coverage" -> ((s, d) => {
       // boilerplate detection: the share of a doc's DISTINCT bigrams that are
-      // corpus-common (appear in ≥ 5 documents). Two aggregates + one
-      // bigram-keyed equi-join — the common-bigram side is df-bounded
-      // three branches hang off the distinct shingle rows → materialize once
+      // corpus-common (appear in ≥ 5 documents). Single-pass form: mark each
+      // shingle row common/not via ONE left join against the df-filtered
+      // bigram set, then one per-doc aggregate computes both counts — no
+      // semi-join + re-aggregate + outer-join chain
       val sh = SimOps.materialize(
         SimOps.shingleRows(t(s, d, "documents"), "doc_id", "text", 2)
           .dropDuplicates("doc_id", "_sh"))
       val common = sh.groupBy("_sh").agg(count(lit(1)).as("_df"))
-        .filter(col("_df") >= 5).select("_sh")
-      sh.join(common, Seq("_sh"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_common"))
-        .join(sh.groupBy("doc_id").agg(count(lit(1)).as("n_distinct")),
-          Seq("doc_id"), "right_outer")
+        .filter(col("_df") >= 5).select(col("_sh"), lit(1L).as("_isc"))
+      sh.join(common, Seq("_sh"), "left_outer")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_distinct"),
+          sum(coalesce(col("_isc"), lit(0L))).as("n_common"))
         .select(col("doc_id"),
-          round(coalesce(col("n_common"), lit(0L)).cast("double")
+          round(col("n_common").cast("double")
             / col("n_distinct").cast("double"), 6).as("boilerplate_share"))
     }),
     "q_ngram_topk" -> ((s, d) => {
