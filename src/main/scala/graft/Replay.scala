@@ -131,6 +131,12 @@ object Replay {
         s"rows; minQuality=$minQuality decontam=${grams.isDefined})")
       spark.stop()
 
+    case "compactIndex" :: idxDir :: Nil =>
+      val spark = session()
+      val (before, after) = graft.operators.NeardupIndex.compact(spark, idxDir)
+      println(s"compacted near-dup index $idxDir: $before -> $after files")
+      spark.stop()
+
     case "lineage" :: table :: queryId :: Nil =>
       val spark = session()
       val t = LakeTable.load(spark, table)

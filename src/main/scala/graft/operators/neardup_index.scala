@@ -90,6 +90,39 @@ object NeardupIndex {
     SimOps.incrementalPairsAgainst(load(spark, dir), batch, cfg.idCol,
       cfg.textCol, cfg.shingleN, cfg.k, cfg.bands, cfg.rowsPerBand, cfg.maxBucket)
 
+  /** Compact the index: rewrite both tables as one deduplicated copy and
+    * delete the accumulated append files. A long-running stream appends a few
+    * files per microbatch forever; compaction bounds the file count (and the
+    * read-side distinct's input volume) without stopping the stream.
+    *
+    * CRASH-SAFE BY THE SAME IDEMPOTENT READS that make appends exactly-once:
+    * the deduplicated copy is APPENDED alongside the old files first, then
+    * the old files are deleted. A crash anywhere in between leaves old+new
+    * (or old+partial-deletes) coexisting — [[load]]'s distinct collapses them
+    * to the same logical index. No lock, no manifest, no unsafe window.
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, dir: String): (Long, Long) = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val (bandsDir, shinglesDir) = tables(dir)
+    def partFiles(root: String): Seq[Path] =
+      scala.util.Using.resource(Files.walk(Paths.get(root)))(
+        _.iterator().asScala.filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).toList)
+    val old = partFiles(bandsDir) ++ partFiles(shinglesDir)
+    val idx = load(spark, dir) // deduplicated frames
+    // MATERIALIZE before appending into the directories the frames read from
+    // (an unmaterialized plan would list/scan its own appended output)
+    val bands = SimOps.materialize(idx.bands)
+    val shingles = SimOps.materialize(idx.shingles)
+    // one file per band / one shingle file: the whole point is bounding counts
+    bands.repartition(1, col("band")).write.mode("append")
+      .partitionBy("band").parquet(bandsDir)
+    shingles.coalesce(1).write.mode("append").parquet(shinglesDir)
+    old.foreach(Files.deleteIfExists(_))
+    (old.size.toLong, (partFiles(bandsDir) ++ partFiles(shinglesDir)).size.toLong)
+  }
+
   /** The CDC hook: index a change-event microbatch's upsert texts, ids stamped
     * `conv#turn#lsn` (updates index as new documents — see class docs). Rows
     * with null keys/text or non-upsert ops carry nothing to index. */

