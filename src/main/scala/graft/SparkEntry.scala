@@ -609,12 +609,15 @@ object SparkEntry {
     // parse identically in Java regex (Spark) and RE2 (DuckDB) — shorthand
     // classes like \s / [:punct:] diverge on edge chars (RE2's \s excludes
     // U+000B; Java's includes it), which failed the hash gate in round 2
+    // outer CAST: DuckDB list_sum over BIGINT returns HUGEINT (int128), which
+    // pandas renders float64 and hash-mismatches Spark's int64 even when every
+    // value is equal — cost the round-3 hash gate
     "q_subword" ->
       s"""SELECT doc_id,
-                coalesce(list_sum(list_transform(
+                CAST(coalesce(list_sum(list_transform(
                   list_filter(regexp_split_to_array(text, '${TextOps.subwordDelimClass}'),
                               w -> len(w) > 0),
-                  w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), 0) AS n_subwords
+                  w -> CAST(ceil(len(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_subwords
          FROM documents""",
     "q_lang_id" ->
       s"""SELECT true_lang, pred_lang, count(*) AS n FROM (

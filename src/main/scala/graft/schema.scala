@@ -88,6 +88,18 @@ object Schemas {
   * to cluster cores at scale).
   */
 object GraftSession {
+  /** Parse "k=v;k=v" conf strings (SPARK_GRAFT_SPARK_CONF). Empty segments are
+    * skipped (trailing ';' etc.); a non-empty segment without '=' is a loud
+    * error naming the bad entry, not an opaque MatchError. */
+  def parseConf(s: String): Seq[(String, String)] =
+    s.split(";").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => (k, v)
+        case _ => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_SPARK_CONF entry '$kv' is not of the form k=v")
+      }
+    }
+
   def local(cores: Int = 32, extra: Map[String, String] = Map.empty): SparkSession = {
     val b = SparkSession.builder()
       .master(s"local[$cores]")
@@ -101,8 +113,8 @@ object GraftSession {
     extra.foreach { case (k, v) => b.config(k, v) }
     // ops escape hatch: arbitrary session confs via SPARK_GRAFT_SPARK_CONF
     // ("k=v;k=v"), e.g. a low manifest segmentThreshold for a CLI probe
-    sys.env.get("SPARK_GRAFT_SPARK_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+    sys.env.get("SPARK_GRAFT_SPARK_CONF").foreach(parseConf(_).foreach {
+      case (k, v) => b.config(k, v)
     })
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -56,6 +56,16 @@ def main(sf_dir: str, out_dir: str) -> int:
         if list(a.columns) != list(e.columns):
             print(f"{name:24s} SCHEMA MISMATCH: {list(a.columns)} vs {list(e.columns)}")
             failures += 1
+            continue
+        # dtype-strict: the driver's gate hashes value renderings, so int64 vs
+        # float64 (e.g. an uncast DuckDB HUGEINT) fails there even when every
+        # value is numerically equal — make the local gate predict that
+        dtype_bad = [c for c in a.columns
+                     if a[c].dtype.kind != e[c].dtype.kind]
+        if dtype_bad:
+            print(f"{name:24s} DTYPE MISMATCH: "
+                  + ", ".join(f"{c}: {a[c].dtype} vs {e[c].dtype}" for c in dtype_bad))
+            failures += 1
         elif len(a) != len(e):
             print(f"{name:24s} ROWCOUNT MISMATCH: {len(a)} vs {len(e)}")
             failures += 1
