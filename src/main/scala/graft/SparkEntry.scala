@@ -124,13 +124,67 @@ object SparkEntry {
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"), "left_outer")
         .select(col("n_name"), col("r_name"))),
     "q_prefix_hierarchy" -> ((s, d) => {
-      // J4 hierarchy prefix join: descendants of each root by path prefix
+      // J4 hierarchy prefix join: descendants of each root by path prefix.
+      // Theta-join form (LIKE path||'%', reference
+      // ksb/I2b2KnowledgeSourceBackend.java:1633-1676) — valid only while the
+      // ancestor side is broadcast-small; q_prefix_equi is the at-scale form
       val paths = t(s, d, "nation")
         .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
         .select(concat(col("r_name"), lit("/"), col("n_name")).as("path"))
       broadcast(t(s, d, "region").select(col("r_name")))
         .join(paths, paths("path").startsWith(concat(col("r_name"), lit("/"))))
         .groupBy("r_name").agg(count(lit(1)).as("descendants"))
+    }),
+    "q_prefix_equi" -> ((s, d) => {
+      // J4 at ontology scale (SURVEY §2.3's own prescription): instead of the
+      // quadratic LIKE-prefix theta join, each node MATERIALIZES its proper
+      // ancestor prefixes map-side (explode of a depth-bounded array — rows
+      // ∝ nodes × depth) and the ancestor lookup becomes a hash EQUI-join on
+      // the prefix string. Linear in both sides, shuffle keyed on the path,
+      // no BroadcastNestedLoopJoin anywhere (PlanSpec pins it); survives
+      // hierarchies too large to broadcast.
+      val nodes = t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("s_name"))
+      val prefixes = nodes.select(explode(array(
+        col("r_name"),
+        concat(col("r_name"), lit("/"), col("n_name")))).as("anc_path"))
+      val ancestors = t(s, d, "region").select(col("r_name").as("anc_path"))
+        .unionByName(t(s, d, "nation")
+          .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+          .select(concat(col("r_name"), lit("/"), col("n_name")).as("anc_path")))
+      ancestors.join(prefixes, "anc_path")
+        .groupBy("anc_path").agg(count(lit(1)).as("descendants"))
+    }),
+    "q_spec_scan" -> ((s, d) =>
+      // S1 via the DECLARATIVE scan-spec layer (reference EntitySpec/DataSpec
+      // analog, plans/scanspec.scala): the date-bounded projection of
+      // q_date_bound expressed as config, compiled to the identical plan
+      // (PlanSpec pins sameResult against the hand-written chain)
+      graft.plans.ScanSpec.compile(t(s, d, _), graft.plans.ScanSpec(
+        baseTable = "lineitem", keyCol = "l_orderkey",
+        startTimeCol = Some("l_shipdate"),
+        constraints = Seq(col("l_shipdate").between("1996-01-01", "1996-12-31")),
+        properties = Seq(
+          graft.plans.PropertySpec("l_orderkey", col("l_orderkey")),
+          graft.plans.PropertySpec("l_linenumber", col("l_linenumber")),
+          graft.plans.PropertySpec("l_quantity", col("l_quantity")),
+          graft.plans.PropertySpec("l_shipdate", col("l_shipdate")))))),
+    "q_spec_fk_chain" -> ((s, d) => {
+      // J1 via the declarative layer: the q_fk_chain join tree as a LinkSpec
+      // chain (broadcastDim marks the small nation dim exactly as the hand
+      // query does); the aggregate rides on top of the compiled scan
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      graft.plans.ScanSpec.compile(t(s, d, _), graft.plans.ScanSpec(
+          baseTable = "customer", keyCol = "c_custkey",
+          links = Seq(
+            graft.plans.LinkSpec("orders", "c_custkey", "o_custkey"),
+            graft.plans.LinkSpec("lineitem", "o_orderkey", "l_orderkey"),
+            graft.plans.LinkSpec("nation", "c_nationkey", "n_nationkey",
+              broadcastDim = true))))
+        .groupBy("n_name")
+        .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_lines"))
     }),
     "q_code_decode" -> ((s, d) =>
       // S3 code-mapping decode: remap a fact-side code column through a SMALL
@@ -197,6 +251,26 @@ object SparkEntry {
         .select(lit("high").as("band"), col("o_orderkey"), col("o_totalprice"))
         .unionByName(o.filter(col("o_totalprice") < 1000)
           .select(lit("low").as("band"), col("o_orderkey"), col("o_totalprice")))
+    }),
+    "q_union_multi" -> ((s, d) => {
+      // §2.7 N-way HETEROGENEOUS union — the reference's KSB pattern of
+      // unioning N differently-shaped ontology/metadata tables into one feed
+      // (reference ksb/AbstractUnionedMetadataQueryBuilder.java:43-58 builds
+      // the N-branch UNION ALL SQL from templates). Spark-first:
+      // unionByName(allowMissingColumns = true) aligns by NAME and null-fills
+      // the shape differences — no positional-union column-order traps, and
+      // each branch stays an independently-pushed-down scan.
+      val cust = t(s, d, "customer").select(
+        col("c_custkey").cast("long").as("entity_id"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"), lit("customer").as("src"))
+      val supp = t(s, d, "supplier").select(
+        col("s_suppkey").cast("long").as("entity_id"), col("s_name").as("name"),
+        lit("supplier").as("src")) // no acctbal, no regionkey
+      val nat = t(s, d, "nation").select(
+        col("n_nationkey").cast("long").as("entity_id"), col("n_name").as("name"),
+        col("n_regionkey").cast("long").as("regionkey"), lit("nation").as("src"))
+      cust.unionByName(supp, allowMissingColumns = true)
+        .unionByName(nat, allowMissingColumns = true)
     }),
     "q_topk_revenue" -> ((s, d) =>
       t(s, d, "customer")
@@ -509,6 +583,21 @@ object SparkEntry {
          JOIN lineitem ON o_orderkey = l_orderkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
+    // q_spec_scan / q_spec_fk_chain are the scan-spec-compiled twins of
+    // q_date_bound / q_fk_chain — the oracle is the same SQL because the
+    // declarative layer must change NOTHING about the result (or the plan:
+    // PlanSpec pins sameResult)
+    "q_spec_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+         WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'""",
+    "q_spec_fk_chain" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                count(*) AS n_lines
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
     "q_semi_keyset" ->
       """SELECT l_orderkey, count(*) AS n_lines FROM lineitem
          WHERE EXISTS (SELECT 1 FROM orders
@@ -529,6 +618,22 @@ object SparkEntry {
                FROM nation JOIN region ON n_regionkey = r_regionkey) p
            ON p.path LIKE r.r_name || '/%'
          GROUP BY r.r_name""",
+    "q_prefix_equi" ->
+      """WITH nodes AS (
+           SELECT r_name, n_name, s_name
+           FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         prefixes AS (
+           SELECT unnest([r_name, r_name || '/' || n_name]) AS anc_path FROM nodes),
+         ancestors AS (
+           SELECT r_name AS anc_path FROM region
+           UNION ALL
+           SELECT r_name || '/' || n_name AS anc_path
+           FROM nation JOIN region ON n_regionkey = r_regionkey)
+         SELECT anc_path, count(*) AS descendants
+         FROM ancestors JOIN prefixes USING (anc_path)
+         GROUP BY anc_path""",
     "q_code_decode" ->
       """SELECT coalesce(s_name, '@') AS supp_name, count(*) AS n_lines,
                 round(sum(l_quantity), 2) AS sum_qty
@@ -575,6 +680,18 @@ object SparkEntry {
       """SELECT 'high' AS band, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000
          UNION ALL
          SELECT 'low' AS band, o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 1000""",
+    "q_union_multi" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS entity_id, c_name AS name,
+                c_acctbal AS acctbal, 'customer' AS src
+         FROM customer
+         UNION ALL BY NAME
+         SELECT CAST(s_suppkey AS BIGINT) AS entity_id, s_name AS name,
+                'supplier' AS src
+         FROM supplier
+         UNION ALL BY NAME
+         SELECT CAST(n_nationkey AS BIGINT) AS entity_id, n_name AS name,
+                CAST(n_regionkey AS BIGINT) AS regionkey, 'nation' AS src
+         FROM nation""",
     "q_topk_revenue" ->
       """SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS spend
          FROM customer JOIN orders ON c_custkey = o_custkey

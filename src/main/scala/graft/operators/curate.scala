@@ -27,8 +27,13 @@ object Curate {
   def curated(table: LakeTable, benchGrams: Option[DataFrame] = None,
               minQuality: Double = 0.0, keyCols: Seq[String] = Seq("conv_id", "turn_idx"),
               textCol: String = "text"): DataFrame = {
-    val state = CdcMerge.state(table).filter(col(textCol).isNotNull)
-    val clean = benchGrams.fold(state) { g =>
+    val resolved = CdcMerge.state(table).filter(col(textCol).isNotNull)
+    val clean = benchGrams.fold(resolved) { g =>
+      // materialize the resolved state ONCE: it feeds both sides of the
+      // anti-join (the contamination screen and the survivor side), and an
+      // unmaterialized frame would re-resolve the lake (scan + LWW dedup)
+      // per branch
+      val state = SimOps.materialize(resolved)
       val contaminated = SimOps
         .contaminationAgainst(state, g, keyCols, textCol)
         .select(keyCols.map(col): _*)

@@ -121,6 +121,14 @@ class MaintainSpec extends SparkSpec {
       Seq((1L, "held out eval answer about spark shuffles")).toDF("doc_id", "text"),
       "doc_id", "text")
     val cur = Curate.curated(t, Some(grams), minQuality = 0.5)
+    // the lake is resolved ONCE: the state feeds both sides of the decontam
+    // anti-join via a materialization boundary, so the executed plan must not
+    // contain one parquet scan of the table per branch (≤1 mention of the
+    // table's data dir; the materialized branch shows as an ExistingRDD /
+    // InMemoryRelation instead)
+    val planScans = cur.queryExecution.executedPlan.toString
+      .linesIterator.count(l => l.contains("FileScan") && l.contains(dir))
+    assert(planScans <= 1, s"curate plan resolves the lake $planScans times")
     val kept = cur.select("conv_id").collect().map(_.getString(0)).toSet
     assert(kept === Set("c1", "c4")) // c2 contaminated out, c3 quality-gated out
     // quality and split columns equal their operator recomputes

@@ -89,6 +89,24 @@ class PlanSpec extends SparkSpec {
       s"decontamination must stay equi-join shaped:\n$p")
   }
 
+  test("scan-spec compiled queries are plan-identical to their hand-written twins") {
+    // the declarative layer (plans/scanspec.scala) must add ZERO plan cost:
+    // the optimized plans of the compiled and hand-written forms are the same
+    // (sameResult = canonicalized-plan equality, Spark's own reuse criterion)
+    def opt(name: String) =
+      SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+    assert(opt("q_spec_scan").sameResult(opt("q_date_bound")),
+      "spec-compiled scan diverged from the hand-written plan")
+    assert(opt("q_spec_fk_chain").sameResult(opt("q_fk_chain")),
+      "spec-compiled FK chain diverged from the hand-written plan")
+  }
+
+  test("prefix-hierarchy equi-join form never nested-loops") {
+    val p = executedPlan(SparkEntry.queries("q_prefix_equi")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"materialized-prefix join must be an equi-join:\n$p")
+  }
+
   test("whole-stage codegen covers the hot scan+filter+project pipeline") {
     val df = SparkEntry.queries("q_valtype_encode")(spark, sf)
     val p = executedPlan(df)
