@@ -15,7 +15,10 @@ import org.apache.spark.sql.types._
   *    are decoded FOR REAL by [[parsePng]] / [[parseJpeg]] / [[parseBmp]] /
   *    [[parseGif]] / [[parseWav]] / [[parseMp4]] (pure-JVM header parsing, no
   *    external libraries);
-  *  - unrecognized payloads fall back to [[decodeStub]], a deterministic fake
+  *  - image payloads the JDK's own `javax.imageio` can fully decode get REAL
+  *    pixel-derived features ([[imageFeatures]]: channel means + luma
+  *    histogram over a bounded subsample grid);
+  *  - everything else falls back to [[decodeStub]], a deterministic fake
   *    (this container ships no ffmpeg; swap the stub for a JNI/library call in
   *    production — the per-partition init point is already in place).
   * In PySpark the same shape is `mapInPandas` over Arrow record batches; the
@@ -169,9 +172,49 @@ object Multimodal {
     hits.nextOption()
   }
 
+  /** REAL pixel-derived image features via the JDK's own decoder
+    * (`javax.imageio` — pure JVM, ships with the JRE, no external libs):
+    * decode the payload, then an 8-float summary over a ≤64×64 subsample grid
+    * (constant work per image regardless of resolution):
+    * [meanR, meanG, meanB, meanLuma (all 0..1), lumaHist₀..₃ (quartile-bin
+    * shares, Rec.601 luma)]. Returns None when the payload has a parseable
+    * header but no decodable pixel stream (truncated fixtures, exotic
+    * encodings) — callers fall back to [[decodeStub]]'s deterministic fake for
+    * the feature while keeping the real header dims. */
+  def imageFeatures(bytes: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (sx, sy) = (math.max(1, w / 64), math.max(1, h / 64))
+        var r = 0.0; var g = 0.0; var b = 0.0; var lum = 0.0; var n = 0L
+        val hist = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val pr = (p >> 16) & 0xFF; val pg = (p >> 8) & 0xFF; val pb = p & 0xFF
+            r += pr; g += pg; b += pb
+            val l = 0.299 * pr + 0.587 * pg + 0.114 * pb
+            lum += l
+            hist(math.min(3, (l / 64.0).toInt)) += 1
+            n += 1
+            x += sx
+          }
+          y += sy
+        }
+        val d = n * 255.0
+        Some(Array((r / d).toFloat, (g / d).toFloat, (b / d).toFloat,
+          (lum / d).toFloat) ++ hist.map(c => (c.toDouble / n).toFloat))
+      }
+    } catch { case _: Throwable => None }
+
   /** STUB decoder — deterministic pseudo-decode for formats without a real
-    * parser above (now only non-MP4 video containers, e.g. MKV/WebM). Replace
-    * with a real codec (ffmpeg) in production. */
+    * parser above (now only non-MP4 video containers, e.g. MKV/WebM) and for
+    * image payloads whose pixel stream the JDK cannot decode. Replace with a
+    * real codec (ffmpeg) in production. */
   private[functions] def decodeStub(bytes: Array[Byte], mediaType: String)
       : (Int, Int, Int, Array[Float]) = {
     def h(seed: Long): Long = {
@@ -198,18 +241,23 @@ object Multimodal {
     implicit val enc = RowEncoder.encoderFor(outSchema)
     df.select(col(idCol).cast("long"), col(bytesCol), col(typeCol))
       .mapPartitions { rows =>
-        // codec/session init happens HERE, once per partition
+        // codec/session init happens HERE, once per partition: no temp-file
+        // spooling for ImageIO streams (pure in-memory decode)
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
           val mt = r.getString(2)
-          val (w, h, f, feat) = decodeStub(bytes, mt)
+          val (w, h, f, fakeFeat) = decodeStub(bytes, mt)
           val image = parsePng(bytes).orElse(parseJpeg(bytes))
             .orElse(parseBmp(bytes)).orElse(parseGif(bytes))
+          // real pixels when the JDK can decode the stream; stub otherwise
+          def feat = (if (image.isDefined) imageFeatures(bytes) else None)
+            .getOrElse(fakeFeat).toSeq
           val media = (image, parseWav(bytes), parseMp4(bytes)) match {
-            case (Some((iw, ih)), _, _) => Row(mt, iw, ih, 1, null, null, feat.toSeq)
-            case (_, Some((rate, ch)), _) => Row(mt, null, null, 1, rate, ch, feat.toSeq)
-            case (_, _, Some((vw, vh, nf))) => Row(mt, vw, vh, nf, null, null, feat.toSeq)
-            case _ => Row(mt, w, h, f, null, null, feat.toSeq)
+            case (Some((iw, ih)), _, _) => Row(mt, iw, ih, 1, null, null, feat)
+            case (_, Some((rate, ch)), _) => Row(mt, null, null, 1, rate, ch, feat)
+            case (_, _, Some((vw, vh, nf))) => Row(mt, vw, vh, nf, null, null, feat)
+            case _ => Row(mt, w, h, f, null, null, feat)
           }
           Row(r.getLong(0), media)
         }

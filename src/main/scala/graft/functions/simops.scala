@@ -230,9 +230,12 @@ object SimOps {
     rawCandidatePairs(bandsDf, idCol, maxBucket).distinct()
 
   /** Candidate pairs WITH band-collision duplicates (a pair sharing b band
-    * buckets appears b times). [[neardupPairs]] feeds this straight into the
-    * verify aggregation — which dedups by construction — instead of paying a
-    * distinct shuffle whose keys the verify joins immediately re-shuffle. */
+    * buckets appears b times). NOT safe to feed into
+    * [[verifiedPairsFromRows]], which requires DISTINCT pairs (duplicates
+    * inflate the intersection count via join fan-out → jaccard > 1);
+    * [[candidatePairs]] is the deduplicated form every verify path uses. A
+    * fused variant that skipped the distinct was measured SLOWER and rejected
+    * — see the verifiedPairsFromRows scaladoc for the numbers. */
   def rawCandidatePairs(bandsDf: DataFrame, idCol: String,
                         maxBucket: Int = 200): DataFrame = {
     // Materialize the (id, band, bucket) rows once: they feed THREE plan

@@ -4,11 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.SimOps
+import graft.sources.{LakeIO, NioLakeIO}
 
 /** Persisted near-dup index — the sibling-table pattern (`_lineage`,
-  * `_rejects`) applied to similarity. Two parquet tables under `dir`
-  * (`bands/`, `shingles/`) hold the LSH band buckets and distinct 64-bit
-  * shingle hashes of everything ingested so far, so each CDC microbatch can
+  * `_rejects`) applied to similarity. Three parquet tables under `dir`
+  * (`bands/`, `shingles/`, `sizes/`) hold the LSH band buckets, distinct
+  * 64-bit shingle hashes, and per-doc shingle-set sizes of everything
+  * ingested so far, so each CDC microbatch can
   *
   *  1. find its near-dups against the WHOLE corpus without re-shingling it
   *     ([[batchPairs]] — an equi-join against the index's band buckets,
@@ -16,14 +18,17 @@ import graft.functions.SimOps
   *  2. [[append]] its own rows, keeping the index current — [[CdcStream]]
   *     does this automatically when `neardupIndexDir` is configured.
   *
-  * EXACTLY-ONCE BY IDEMPOTENT READS: appends are plain parquet appends with
-  * no atomicity across the two tables, so a crash-redelivered microbatch can
-  * re-append (at-least-once). Instead of a ledger, [[load]] deduplicates —
-  * `bands`/`shingles` rows are full-row `distinct()`, and the per-doc shingle
-  * set SIZE is derived from the deduplicated shingles rather than stored —
-  * so any number of re-appends of the same rows reads back as exactly one
-  * copy (the same trick CdcMerge gets from LWW: redelivery is absorbed by
-  * the read semantics, not fenced by a write-side lock).
+  * EXACTLY-ONCE BY EPOCH-KEYED OVERWRITES: each append lands in a
+  * deterministic `e=<epoch>` subdirectory of all three tables with OVERWRITE
+  * semantics, so a crash-redelivered microbatch (structured streaming replays
+  * at most the last uncommitted epoch, under its original epoch id) rewrites
+  * the same directories instead of duplicating rows — the `_contam`
+  * per-epoch-overwrite pattern, applied to the index. Because rows are
+  * duplicate-free AT REST, [[load]] is a pure scan+union: no full-index
+  * `distinct()`, no per-batch size re-aggregation (sizes are STORED at write
+  * time) — per-batch index-read cost is O(files touched), independent of how
+  * many documents the index holds (StreamSpec pins the aggregate-free read
+  * plan).
   *
   * UPDATE semantics: the stream stamps ids as `conv#turn#lsn`, so an updated
   * turn indexes as a NEW document and the superseded version remains listed —
@@ -38,13 +43,31 @@ import graft.functions.SimOps
   * training-data pipeline needs cross-batch near-dup, which at 10⁹ documents
   * is only feasible against a persisted index.
   *
-  * Scale notes: `bands/` is written partitioned by `band` (8 directories) so
-  * the candidate join prunes; at 100 TB the natural upgrade is bucketing
-  * `bands/` by `bucket` (co-located join, no shuffle of the index side) and
-  * storing both tables as LakeTable-managed buckets — the layout decision is
-  * isolated here. Appends never rewrite old files (same append-only shape as
-  * the merge-on-read CDC path); the read-side distinct costs one aggregation
-  * over the index per query.
+  * COMPACTION ([[compact]]) bounds the per-epoch file accumulation: all
+  * epochs except the newest (the only one the stream can still redeliver)
+  * fold into a `compacted/g=<gen>` generation; a tiny atomically-renamed
+  * `ledger.json` records `(gen, compactedThrough)` and [[load]] reads the
+  * current generation plus epochs above the ledger mark. Crash-safe at every
+  * step: before the ledger rename the new generation is invisible; after it,
+  * the superseded epoch dirs are ignored whether or not the GC deletes got to
+  * run (the next compaction re-collects them). CAVEAT: GC deletion races LIVE
+  * readers — a query that resolved the ledger before a compaction commits can
+  * lose its input files mid-scan and must retry; crash consistency is
+  * guaranteed, reader isolation during compaction is not (take the index
+  * offline or retry failed queries around compaction windows).
+  *
+  * All driver-side file ops go through [[LakeIO]] (local nio by default,
+  * Hadoop FileSystem for object stores) — same abstraction as the lake
+  * manifests.
+  *
+  * Scale notes: `bands/` is partitioned by `band` within each epoch so the
+  * candidate join prunes; at 100 TB the natural upgrade is bucketing `bands/`
+  * by `bucket` (co-located join, no shuffle of the index side) — the layout
+  * decision is isolated here. The one remaining O(index-bands) stage per
+  * query is the bucket-size cap aggregation in
+  * [[SimOps.incrementalPairsAgainst]], which is oracle-contractual (maxBucket
+  * counts GLOBAL bucket membership) and runs over the slim (id, band, bucket)
+  * table, never the shingles.
   */
 object NeardupIndex {
 
@@ -52,82 +75,175 @@ object NeardupIndex {
                           shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                           rowsPerBand: Int = 4, maxBucket: Int = 200)
 
-  private def tables(dir: String) = (s"$dir/bands", s"$dir/shingles")
+  private val tableNames = Seq("bands", "shingles", "sizes")
 
-  /** Create (or overwrite) the index from an initial corpus. */
-  def write(dir: String, docs: DataFrame, cfg: Config = Config()): Unit =
-    save(dir, docs, cfg, "overwrite")
+  private final case class Ledger(gen: Long, compactedThrough: Long)
+  private val emptyLedger = Ledger(-1L, -1L)
 
-  /** Append a new batch's rows (creates the index if absent). Re-appending
-    * the same batch is harmless — [[load]] deduplicates (see class docs). */
-  def append(dir: String, docs: DataFrame, cfg: Config = Config()): Unit =
-    save(dir, docs, cfg, "append")
+  private def ledgerPath(dir: String) = s"$dir/ledger.json"
 
-  private def save(dir: String, docs: DataFrame, cfg: Config, mode: String): Unit = {
-    val t = SimOps.neardupIndexTables(docs, cfg.idCol, cfg.textCol,
-      cfg.shingleN, cfg.k, cfg.bands, cfg.rowsPerBand)
-    val (bandsDir, shinglesDir) = tables(dir)
-    t.bands.write.mode(mode).partitionBy("band").parquet(bandsDir)
-    t.shingles.write.mode(mode).parquet(shinglesDir)
+  private def readLedger(io: LakeIO, dir: String): Ledger =
+    if (!io.exists(ledgerPath(dir))) emptyLedger
+    else {
+      val s = io.readString(ledgerPath(dir))
+      def num(k: String): Long =
+        s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(s)
+          .getOrElse(throw new IllegalStateException(
+            s"near-dup index ledger ${ledgerPath(dir)} missing '$k': $s"))
+          .group(1).toLong
+      Ledger(num("gen"), num("compactedThrough"))
+    }
+
+  private def writeLedger(io: LakeIO, dir: String, l: Ledger): Unit =
+    io.writeStringAtomic(ledgerPath(dir),
+      s"""{"gen":${l.gen},"compactedThrough":${l.compactedThrough}}""")
+
+  /** Epoch numbers present on disk — the UNION across all three tables, so a
+    * partially-deleted epoch (crash mid-GC) is still seen and re-collected. */
+  private def liveEpochs(io: LakeIO, dir: String): Seq[Long] =
+    tableNames.flatMap { t =>
+      val root = s"$dir/$t"
+      if (!io.isDirectory(root)) Nil
+      else io.listDir(root).flatMap { p =>
+        val name = p.stripSuffix("/").split('/').last
+        if (name.startsWith("e=")) name.stripPrefix("e=").toLongOption else None
+      }
+    }.distinct.sorted
+
+  private def walkParquet(io: LakeIO, path: String): Seq[String] =
+    if (io.isDirectory(path)) io.listDir(path).flatMap(walkParquet(io, _))
+    else if (path.endsWith(".parquet")) Seq(path)
+    else Nil
+
+  /** Create (or replace) the index from an initial corpus as epoch 0. */
+  def write(dir: String, docs: DataFrame, cfg: Config = Config(),
+            io: LakeIO = NioLakeIO): Unit = {
+    io.deleteRecursively(dir)
+    append(dir, docs, cfg, epoch = Some(0L), io = io)
   }
 
-  /** Load with idempotent-read semantics: duplicate rows from redelivered
-    * appends collapse, and sizes are derived from the deduplicated shingles. */
-  def load(spark: SparkSession, dir: String): SimOps.NeardupIndexTables = {
-    val (bandsDir, shinglesDir) = tables(dir)
-    val shingles = spark.read.parquet(shinglesDir).distinct()
-    val idCol = shingles.columns.filterNot(_ == "_s").head
-    SimOps.NeardupIndexTables(
-      spark.read.parquet(bandsDir).distinct(),
-      shingles,
-      shingles.groupBy(idCol).agg(count(lit(1)).as("_sz")))
+  /** Append a batch under `epoch` (the stream's microbatch id). Re-appending
+    * the SAME epoch overwrites its own directories — crash-redelivery is
+    * idempotent by the write path (see class docs). Without an explicit epoch
+    * the next free number is assigned; such manual appends must carry ids and
+    * content not already indexed (redelivery absorption is epoch-keyed). */
+  def append(dir: String, docs: DataFrame, cfg: Config = Config(),
+             epoch: Option[Long] = None, io: LakeIO = NioLakeIO): Unit = {
+    val led = readLedger(io, dir)
+    val e = epoch.getOrElse(
+      (liveEpochs(io, dir) :+ led.compactedThrough :+ -1L).max + 1)
+    val t = SimOps.neardupIndexTables(docs, cfg.idCol, cfg.textCol,
+      cfg.shingleN, cfg.k, cfg.bands, cfg.rowsPerBand)
+    t.bands.write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands/e=$e")
+    t.shingles.write.mode("overwrite").parquet(s"$dir/shingles/e=$e")
+    t.sizes.write.mode("overwrite").parquet(s"$dir/sizes/e=$e")
+    refresh(docs.sparkSession, dir)
+  }
+
+  /** Drop cached file listings under `dir`: an epoch overwrite (redelivery) or
+    * compaction GC replaces files in place, and a session-cached InMemoryFileIndex
+    * would otherwise serve the deleted paths (FAILED_READ_FILE on next query). */
+  private def refresh(spark: SparkSession, dir: String): Unit =
+    spark.catalog.refreshByPath(dir) // prefix-invalidates all three tables + gens
+
+  /** Load the logical index: current compacted generation ∪ epochs above the
+    * ledger mark. A pure scan — no distinct, no aggregation (duplicate-freedom
+    * is a WRITE-side invariant; sizes are stored, not derived). */
+  def load(spark: SparkSession, dir: String,
+           io: LakeIO = NioLakeIO): SimOps.NeardupIndexTables = {
+    val led = readLedger(io, dir)
+    val hasLive = liveEpochs(io, dir).exists(_ > led.compactedThrough)
+    def table(name: String): DataFrame = {
+      val live = if (hasLive)
+        Some(spark.read.parquet(s"$dir/$name")
+          .filter(col("e") > led.compactedThrough).drop("e"))
+      else None
+      val comp = if (led.gen >= 0)
+        Some(spark.read.parquet(s"$dir/compacted/g=${led.gen}/$name"))
+      else None
+      (live.toSeq ++ comp.toSeq).reduceOption(_.unionByName(_)).getOrElse(
+        throw new IllegalStateException(s"near-dup index $dir is empty ($name)"))
+    }
+    SimOps.NeardupIndexTables(table("bands"), table("shingles"), table("sizes"))
   }
 
   /** Near-dup pairs (new_id, old_id, jaccard) of `batch` against the persisted
     * index. Batch-internal dups are the caller's SimOps.neardupPairs. */
   def batchPairs(spark: SparkSession, dir: String, batch: DataFrame,
-                 cfg: Config = Config()): DataFrame =
-    SimOps.incrementalPairsAgainst(load(spark, dir), batch, cfg.idCol,
+                 cfg: Config = Config(), io: LakeIO = NioLakeIO): DataFrame =
+    SimOps.incrementalPairsAgainst(load(spark, dir, io), batch, cfg.idCol,
       cfg.textCol, cfg.shingleN, cfg.k, cfg.bands, cfg.rowsPerBand, cfg.maxBucket)
 
-  /** Compact the index: rewrite both tables as one deduplicated copy and
-    * delete the accumulated append files. A long-running stream appends a few
-    * files per microbatch forever; compaction bounds the file count (and the
-    * read-side distinct's input volume) without stopping the stream.
-    *
-    * CRASH-SAFE BY THE SAME IDEMPOTENT READS that make appends exactly-once:
-    * the deduplicated copy is APPENDED alongside the old files first, then
-    * the old files are deleted. A crash anywhere in between leaves old+new
-    * (or old+partial-deletes) coexisting — [[load]]'s distinct collapses them
-    * to the same logical index. No lock, no manifest, no unsafe window.
-    * Returns (filesBefore, filesAfter). */
-  def compact(spark: SparkSession, dir: String): (Long, Long) = {
-    import java.nio.file.{Files, Path, Paths}
-    import scala.jdk.CollectionConverters._
-    val (bandsDir, shinglesDir) = tables(dir)
-    def partFiles(root: String): Seq[Path] =
-      scala.util.Using.resource(Files.walk(Paths.get(root)))(
-        _.iterator().asScala.filter(p =>
-          p.getFileName.toString.endsWith(".parquet")).toList)
-    val old = partFiles(bandsDir) ++ partFiles(shinglesDir)
-    val idx = load(spark, dir) // deduplicated frames
-    // MATERIALIZE before appending into the directories the frames read from
-    // (an unmaterialized plan would list/scan its own appended output)
-    val bands = SimOps.materialize(idx.bands)
-    val shingles = SimOps.materialize(idx.shingles)
-    // one file per band / one shingle file: the whole point is bounding counts
-    bands.repartition(1, col("band")).write.mode("append")
-      .partitionBy("band").parquet(bandsDir)
-    shingles.coalesce(1).write.mode("append").parquet(shinglesDir)
-    old.foreach(Files.deleteIfExists(_))
-    (old.size.toLong, (partFiles(bandsDir) ++ partFiles(shinglesDir)).size.toLong)
+  /** Fold every epoch except the newest (the only one the stream can still
+    * redeliver) plus the previous generation into a new compacted generation,
+    * commit it via the atomic ledger rename, then GC superseded directories.
+    * A long-running stream appends a few files per epoch forever; compaction
+    * bounds the file count. Returns (parquetFilesBefore, parquetFilesAfter).
+    * See class docs for the crash-safety argument and the live-reader caveat. */
+  def compact(spark: SparkSession, dir: String,
+              io: LakeIO = NioLakeIO): (Long, Long) = {
+    val led = readLedger(io, dir)
+    def files(): Long = walkParquet(io, dir).size.toLong
+    val before = files()
+    val live = liveEpochs(io, dir).filter(_ > led.compactedThrough)
+    // the newest epoch stays out of the fold: structured streaming may replay
+    // it (under its own id) after a crash, and a redelivered epoch must land
+    // in its own directory, not duplicate rows already folded into a gen
+    val foldable = if (live.isEmpty) Nil else live.init
+    if (foldable.isEmpty) { gc(io, dir, led); refresh(spark, dir) } // just re-GC
+    else {
+      val newGen = led.gen + 1
+      def merged(name: String): DataFrame = {
+        val fold = if (foldable.nonEmpty)
+          Some(spark.read.parquet(s"$dir/$name")
+            .filter(col("e").isin(foldable: _*)).drop("e"))
+        else None
+        val prev = if (led.gen >= 0)
+          Some(spark.read.parquet(s"$dir/compacted/g=${led.gen}/$name"))
+        else None
+        // distinct is belt-and-braces (epochs are id-disjoint by contract);
+        // it runs HERE, offline at compaction, not per batch query
+        (fold.toSeq ++ prev.toSeq).reduce(_.unionByName(_)).distinct()
+      }
+      val out = s"$dir/compacted/g=$newGen"
+      // one file per band / one file per table: bounding counts is the point
+      merged("bands").repartition(1, col("band")).write.mode("overwrite")
+        .partitionBy("band").parquet(s"$out/bands")
+      merged("shingles").coalesce(1).write.mode("overwrite").parquet(s"$out/shingles")
+      merged("sizes").coalesce(1).write.mode("overwrite").parquet(s"$out/sizes")
+      val committed = Ledger(newGen,
+        (foldable :+ led.compactedThrough).max)
+      writeLedger(io, dir, committed) // the commit point (atomic rename)
+      gc(io, dir, committed)
+      refresh(spark, dir)
+    }
+    (before, files())
+  }
+
+  /** Delete directories the ledger has superseded: epochs ≤ compactedThrough
+    * and non-current generations. Pure garbage collection — a crash that
+    * skips it leaves dirs [[load]] already ignores, re-collected next time. */
+  private def gc(io: LakeIO, dir: String, led: Ledger): Unit = {
+    // snapshot the epoch list BEFORE deleting: liveEpochs lists the bands dir,
+    // and deleting bands/e=* first would hide those epochs from the
+    // shingles/sizes delete passes
+    val stale = liveEpochs(io, dir).filter(_ <= led.compactedThrough)
+    for (t <- tableNames; e <- stale)
+      io.deleteRecursively(s"$dir/$t/e=$e")
+    val compRoot = s"$dir/compacted"
+    if (io.isDirectory(compRoot)) io.listDir(compRoot).foreach { p =>
+      val name = p.stripSuffix("/").split('/').last
+      if (name.startsWith("g=") && name != s"g=${led.gen}")
+        io.deleteRecursively(p)
+    }
   }
 
   /** The CDC hook: index a change-event microbatch's upsert texts, ids stamped
     * `conv#turn#lsn` (updates index as new documents — see class docs). Rows
-    * with null keys/text or non-upsert ops carry nothing to index. */
-  def appendBatch(dir: String, changeBatch: DataFrame,
-                  cfg: Config = Config()): Unit = {
+    * with null keys/text or non-upsert ops carry nothing to index. Pass the
+    * stream's epoch id so crash-redelivery overwrites rather than duplicates. */
+  def appendBatch(dir: String, changeBatch: DataFrame, cfg: Config = Config(),
+                  epoch: Option[Long] = None, io: LakeIO = NioLakeIO): Unit = {
     val docs = changeBatch
       .filter(col("op").isin("I", "U") && col("conv_id").isNotNull &&
         col("turn_idx").isNotNull && col("text").isNotNull)
@@ -135,6 +251,6 @@ object NeardupIndex {
         .as(cfg.idCol), col("text").as(cfg.textCol))
     // an all-rejected/delete-only batch has nothing to index; skipping also
     // avoids creating a zero-file parquet dir that a later read can't infer
-    if (!docs.isEmpty) append(dir, docs, cfg)
+    if (!docs.isEmpty) append(dir, docs, cfg, epoch, io)
   }
 }

@@ -208,7 +208,18 @@ final class LakeTable(val spark: SparkSession, val dir: String,
     // snapshot lists files whose absence would otherwise surface as a scan-time
     // path error — or, under spark.sql.files.ignoreMissingFiles=true, as a
     // silently PARTIAL historical state, the worst possible failure mode
-    val missing = s.files.count(f => !io.exists(s"$dir/${f.path}"))
+    // batched: ONE listing per distinct parent directory instead of one
+    // driver-side exists() round trip per file — O(dirs), which on an object
+    // store is the difference between milliseconds and minutes for a large
+    // historical snapshot
+    val byParent = s.files.groupBy(f =>
+      s"$dir/${f.path}".split('/').dropRight(1).mkString("/"))
+    val missing = byParent.iterator.map { case (parent, fs) =>
+      val present: Set[String] =
+        if (!io.isDirectory(parent)) Set.empty
+        else io.listDir(parent).map(_.stripSuffix("/").split('/').last).toSet
+      fs.count(f => !present.contains(s"$dir/${f.path}".split('/').last))
+    }.sum
     if (missing > 0) throw new IllegalStateException(
       s"snapshot v$version references $missing data file(s) already vacuumed")
     readFiles(s, s.files)

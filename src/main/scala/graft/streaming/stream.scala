@@ -32,7 +32,8 @@ object CdcStream {
       knownRoles: Option[Seq[String]] = None, // P6 guard (see CdcMerge.rejectReason)
       // maintain a near-dup LSH index of ingested turn texts (see NeardupIndex):
       // appended BEFORE the merge commit, so a crash between the two redelivers
-      // the append — absorbed by NeardupIndex.load's idempotent-read dedup
+      // the append — absorbed by the index's epoch-keyed overwrite (the
+      // redelivered epoch rewrites its own e=<id> directories)
       neardupIndexDir: Option[String] = None,
       neardupCfg: graft.operators.NeardupIndex.Config =
         graft.operators.NeardupIndex.Config(),
@@ -69,12 +70,13 @@ object CdcStream {
           CdcMerge.physicalSchema(Schemas.payloadOf(batch.schema)), cfg.numBuckets)
         // Near-dup indexing runs BEFORE the merge and only for epochs the
         // ledger has not committed: if we crash after indexing but before the
-        // merge commit, the redelivered epoch re-indexes (idempotent reads
-        // absorb it) and then merges; if the merge committed, the ledger skips
+        // merge commit, the redelivered epoch re-indexes (the epoch-keyed
+        // overwrite absorbs it) and then merges; if the merge committed, the ledger skips
         // the epoch entirely — and its indexing necessarily already happened.
         cfg.neardupIndexDir.foreach { dir =>
           if (epochId > table.appliedEpoch(cfg.queryId))
-            graft.operators.NeardupIndex.appendBatch(dir, batch, cfg.neardupCfg)
+            graft.operators.NeardupIndex.appendBatch(dir, batch, cfg.neardupCfg,
+              epoch = Some(epochId))
         }
         // Decontamination at ingest: per-epoch OVERWRITE makes a redelivered
         // epoch rewrite the same _contam partition — idempotent without locks

@@ -477,6 +477,45 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1).getInt(1) === 640 && out(1).getInt(2) === 480)
   }
 
+  test("multimodal: decodable images yield real pixel-derived features") {
+    import java.awt.image.BufferedImage
+    def pngOf(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val red = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 8; y <- 0 until 8) red.setRGB(x, y, 0xFF0000)
+    val feat = Multimodal.imageFeatures(pngOf(red)).get
+    assert(feat(0) === 1.0f && feat(1) === 0.0f && feat(2) === 0.0f) // mean RGB
+    assert(math.abs(feat(3) - 0.299f) < 1e-3)  // Rec.601 luma of pure red
+    assert(feat(5) === 1.0f && feat(4) === 0.0f && feat(6) === 0.0f &&
+      feat(7) === 0.0f)                        // luma 76 lands in bin 1 alone
+    // two-tone: half black half white → meanLuma .5, mass split bins 0 and 3
+    val bw = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4) { bw.setRGB(x, 0, 0x000000); bw.setRGB(x, 1, 0xFFFFFF) }
+    val f2 = Multimodal.imageFeatures(pngOf(bw)).get
+    assert(math.abs(f2(3) - 0.5f) < 1e-3 && f2(4) === 0.5f && f2(7) === 0.5f)
+    // through the operator: real dims AND the same real features
+    val df = Seq((1L, pngOf(red), "image")).toDF("id", "payload", "media_type")
+    val m = Multimodal.decodeAndFeaturize(df, "id", "payload", "media_type")
+      .select("media.*").collect()(0)
+    assert(m.getInt(1) === 8 && m.getInt(2) === 8)
+    assert(m.getSeq[Float](6) === feat.toSeq)
+    // a header-only fixture has no pixel stream: imageFeatures refuses (the
+    // stub covers the feature) but the header dims stay real
+    def headerPng(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](24)
+      Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).zipWithIndex
+        .foreach { case (v, i) => b(i) = v.toByte }
+      b(11) = 13; "IHDR".getBytes.copyToArray(b, 12)
+      for (i <- 0 until 4) { b(16 + i) = ((w >> (8 * (3 - i))) & 0xFF).toByte }
+      for (i <- 0 until 4) { b(20 + i) = ((h >> (8 * (3 - i))) & 0xFF).toByte }
+      b
+    }
+    assert(Multimodal.imageFeatures(headerPng(9, 9)) === None)
+  }
+
   test("multimodal: real MP4 and GIF headers decode to dimensions/frame counts") {
     // hand-built minimal ISO-BMFF trees — pure bytes, no media libraries
     def box(typ: String, payload: Array[Byte]): Array[Byte] = {
