@@ -24,6 +24,7 @@ import graft.functions.SimOps
 object SimBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("ann")) { annMain(args.drop(1)); return }
+    if (args.headOption.contains("index")) { indexMain(args.drop(1)); return }
     val repeats = args.headOption.map(_.toInt).getOrElse(2)
     val factors = args.lift(1).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 10))
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
@@ -50,6 +51,55 @@ object SimBench {
         ((System.nanoTime() - t0) / 1e9, pairs)
       }
       println(f"SIM n=$n wall=${runs.map(_._1).min}%.2f pairs=${runs.head._2}")
+    }
+    spark.stop()
+  }
+
+  /** Index mode: how does the PER-BATCH incremental near-dup query scale with
+    * the size of the persisted index it runs against? Builds NeardupIndex
+    * instances over f× replicated corpora, then times
+    * `NeardupIndex.batchPairs` for the SAME fixed 200-doc batch against each.
+    * Prints `IDX n=<indexed docs> wall=<s> pairs=<rows>`. The round-3 shape
+    * paid a full-index distinct() + size groupBy per batch (cost ∝ index);
+    * the epoch-ledgered shape reads stored tables — residual growth is the
+    * band-bucket scan + the oracle-contractual bucket-size cap aggregation
+    * over the slim bands table, not a shuffle of the corpus.
+    * Usage: run_graft.sh graft.SimBench index [repeats] [factor,...] */
+  private def indexMain(args: Array[String]): Unit = {
+    import graft.operators.NeardupIndex
+    val repeats = args.headOption.map(_.toInt).getOrElse(2)
+    val factors = args.lift(1).map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq(1, 10))
+    val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val docs = spark.read
+      .parquet(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1") +
+        "/documents.parquet")
+      .select("doc_id", "text")
+    // the probe batch: 200 docs re-stamped with ids disjoint from every index
+    val batch = docs.limit(200)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+      .cache()
+    batch.count()
+    def corpusOf(f: Int) =
+      if (f <= 1) docs
+      else docs.crossJoin(spark.range(f).select(col("id").as("_r")))
+        .select((col("doc_id") * f + col("_r")).as("doc_id"),
+          concat_ws(" ", col("text"), concat(lit("idxmarker"), col("_r")))
+            .as("text"))
+    val cfg = NeardupIndex.Config(shingleN = 2)
+    factors.foreach { f =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-simbench-idx").toString
+      val d = corpusOf(f)
+      val n = d.count()
+      NeardupIndex.write(dir, d, cfg)
+      val runs = (1 to repeats).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val pairs = NeardupIndex.batchPairs(spark, dir, batch, cfg)
+          .filter(col("jaccard") >= 0.5).count()
+        ((System.nanoTime() - t0) / 1e9, pairs)
+      }
+      println(f"IDX n=$n wall=${runs.map(_._1).min}%.2f pairs=${runs.head._2}")
+      graft.sources.NioLakeIO.deleteRecursively(dir)
     }
     spark.stop()
   }
