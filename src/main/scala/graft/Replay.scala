@@ -51,6 +51,8 @@ object Replay {
       CdcStream.runAvailable(spark, CdcStream.Config(
         sourceDir = src, tableDir = table, checkpointDir = ckpt,
         queryId = queryId, numBuckets = buckets, maxFilesPerTrigger = mft,
+        // WAL encoding override (parquet | json | csv) for line-feed exports
+        sourceFormat = sys.env.getOrElse("SPARK_GRAFT_SOURCE_FORMAT", "parquet"),
         neardupIndexDir = ndIdx, contamBenchDir = contam))
       val secs = (System.nanoTime() - t0) / 1e9
       val t = LakeTable.load(spark, table)

@@ -24,6 +24,12 @@ object CdcStream {
       checkpointDir: String,
       queryId: String = "graft",
       schema: StructType = Schemas.change,
+      // WAL encoding: "parquet" (default), "json" (one change event per line —
+      // the common binlog-tail export shape, e.g. Debezium-style feeds), or
+      // "csv" (headerless, columns in schema order). The schema is always
+      // enforced explicitly — a malformed line yields nulls which the reject
+      // path dead-letters with a REASON, never a dropped row.
+      sourceFormat: String = "parquet",
       numBuckets: Int = 64,
       availableNow: Boolean = true,
       processingTimeMs: Long = 1000L,
@@ -56,9 +62,14 @@ object CdcStream {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     var reader = spark.readStream.schema(cfg.schema)
     cfg.maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
-    val src = reader
-      .option("recursiveFileLookup", "true")
-      .parquet(cfg.sourceDir)
+    reader = reader.option("recursiveFileLookup", "true")
+    val src = cfg.sourceFormat match {
+      case "parquet" => reader.parquet(cfg.sourceDir)
+      case "json" => reader.json(cfg.sourceDir)
+      case "csv" => reader.csv(cfg.sourceDir)
+      case other => throw new IllegalArgumentException(
+        s"unknown sourceFormat '$other' (parquet | json | csv)")
+    }
     src.writeStream
       .queryName(cfg.queryId)
       .option("checkpointLocation", cfg.checkpointDir)

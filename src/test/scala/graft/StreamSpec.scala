@@ -46,6 +46,25 @@ class StreamSpec extends SparkSpec {
     assert(Oracle.diff(CdcMerge.state(t), Oracle.expectedState(all)).isEmpty)
   }
 
+  test("json WAL tail: a line-feed export replays to the same state as the parquet feed") {
+    // the common binlog-export shape (one JSON change event per line,
+    // Debezium-style): identical events written as json and parquet must
+    // replay to identical final table state under the same explicit schema
+    val ev = ChangeGen.events(spark, 1200L, 25, 6, 0.0, 0.1)
+    val (jsrc, psrc) = (tmpDir("jw-jsrc"), tmpDir("jw-psrc"))
+    ev.repartition(2).write.mode("overwrite").json(s"$jsrc/e0")
+    ev.repartition(2).write.mode("overwrite").parquet(s"$psrc/e0")
+    val (jt, pt) = (tmpDir("jw-jtbl"), tmpDir("jw-ptbl"))
+    CdcStream.runAvailable(spark, CdcStream.Config(jsrc, jt, tmpDir("jw-jck"),
+      queryId = "jw", numBuckets = 8, sourceFormat = "json"))
+    CdcStream.runAvailable(spark, CdcStream.Config(psrc, pt, tmpDir("jw-pck"),
+      queryId = "jw", numBuckets = 8))
+    val js = CdcMerge.state(LakeTable.load(spark, jt))
+    val ps = CdcMerge.state(LakeTable.load(spark, pt))
+    assert(Oracle.diff(js, ps).isEmpty, "json-fed state != parquet-fed state")
+    assert(js.count() > 0)
+  }
+
   test("tail mode: ProcessingTime trigger picks up files arriving while the stream runs") {
     val src = tmpDir("tl-src"); val tbl = tmpDir("tl-tbl"); val ckpt = tmpDir("tl-ck")
     ChangeGen.events(spark, 500L, 10, 5, 0.0, 0.0).repartition(2)
