@@ -51,17 +51,27 @@ class StreamSpec extends SparkSpec {
     // Debezium-style): identical events written as json and parquet must
     // replay to identical final table state under the same explicit schema
     val ev = ChangeGen.events(spark, 1200L, 25, 6, 0.0, 0.1)
-    val (jsrc, psrc) = (tmpDir("jw-jsrc"), tmpDir("jw-psrc"))
+    val (jsrc, csrc, psrc) = (tmpDir("jw-jsrc"), tmpDir("jw-csrc"), tmpDir("jw-psrc"))
     ev.repartition(2).write.mode("overwrite").json(s"$jsrc/e0")
+    // the CSV WRITER trims leading/trailing whitespace by default (the reader
+    // does not) — disable so a text field ending in a space survives the trip
+    ev.repartition(2).write.mode("overwrite")
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
+      .csv(s"$csrc/e0")
     ev.repartition(2).write.mode("overwrite").parquet(s"$psrc/e0")
-    val (jt, pt) = (tmpDir("jw-jtbl"), tmpDir("jw-ptbl"))
+    val (jt, ct, pt) = (tmpDir("jw-jtbl"), tmpDir("jw-ctbl"), tmpDir("jw-ptbl"))
     CdcStream.runAvailable(spark, CdcStream.Config(jsrc, jt, tmpDir("jw-jck"),
       queryId = "jw", numBuckets = 8, sourceFormat = "json"))
+    CdcStream.runAvailable(spark, CdcStream.Config(csrc, ct, tmpDir("jw-cck"),
+      queryId = "jw", numBuckets = 8, sourceFormat = "csv"))
     CdcStream.runAvailable(spark, CdcStream.Config(psrc, pt, tmpDir("jw-pck"),
       queryId = "jw", numBuckets = 8))
     val js = CdcMerge.state(LakeTable.load(spark, jt))
+    val cs = CdcMerge.state(LakeTable.load(spark, ct))
     val ps = CdcMerge.state(LakeTable.load(spark, pt))
     assert(Oracle.diff(js, ps).isEmpty, "json-fed state != parquet-fed state")
+    assert(Oracle.diff(cs, ps).isEmpty, "csv-fed state != parquet-fed state")
     assert(js.count() > 0)
   }
 
