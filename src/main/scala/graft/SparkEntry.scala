@@ -469,6 +469,16 @@ object SparkEntry {
         .select(col("right_id").as("doc_id")).distinct()
       t(s, d, "documents").join(dropped, Seq("doc_id"), "left_anti").select("doc_id")
     }),
+    "q_neardup_groups" -> ((s, d) => {
+      // TRANSITIVE near-dup grouping: verified pairs → connected components →
+      // (doc_id, group_id = min id of the component). The cluster-level form
+      // of q_neardup_resolve's pairwise keep-min-id (see
+      // SimOps.connectedComponents for why chains need components)
+      val pairs = SimOps.neardupPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleN = 2, k = 32, bands = 8, rowsPerBand = 4, maxBucket = 200)
+        .filter(col("jaccard") >= 0.5)
+      SimOps.connectedComponents(pairs, "left_id", "right_id")
+    }),
     "q_dedup_incr" -> ((s, d) => {
       // INCREMENTAL exact dedup: flag each doc of the arriving batch that
       // already exists (by content fingerprint) in the ingested corpus — a
@@ -883,6 +893,19 @@ object SparkEntry {
           SELECT doc_id FROM documents
           WHERE NOT EXISTS (SELECT 1 FROM jac
                             WHERE jaccard >= 0.5 AND jac.right_id = documents.doc_id)""",
+    // recursive CTE = the oracle's transitive closure; UNION (not UNION ALL)
+    // dedups the frontier so the recursion terminates
+    "q_neardup_groups" ->
+      s"""WITH RECURSIVE ${lshCtesSql(shingleN = 2)}, $neardupCtesSql,
+          edges AS (SELECT left_id AS a, right_id AS b FROM jac WHERE jaccard >= 0.5
+                    UNION ALL
+                    SELECT right_id, left_id FROM jac WHERE jaccard >= 0.5),
+          reach AS (SELECT DISTINCT a AS id, a AS r FROM edges
+                    UNION
+                    SELECT e.b AS id, reach.r FROM reach
+                    JOIN edges e ON e.a = reach.id)
+          SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS group_id
+          FROM reach GROUP BY id""",
     "q_dedup_incr" ->
       """SELECT b.doc_id, md5(b.text) AS fp,
                 EXISTS (SELECT 1 FROM documents i

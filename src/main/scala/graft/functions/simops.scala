@@ -302,6 +302,62 @@ object SimOps {
     verifiedPairsFromRows(rows, pairs, idCol)
   }
 
+  /** TRANSITIVE near-dup grouping: connected components over an undirected
+    * pair list, as iterative min-label propagation — each round is one
+    * equi-join + one map-side-combinable min-aggregate, materialized to cut
+    * lineage, until a fixpoint (no label changed). Returns (idCol, group_id)
+    * where group_id = the component's minimum member id, for every id that
+    * appears in ≥1 pair.
+    *
+    * This completes the dedup family: pairwise keep-min-id resolution
+    * ([[neardupPairs]] + anti-join) under-drops on transitive chains
+    * (A≈B≈C with A̸≈C keeps both A and C's view inconsistent across
+    * orderings); component-level grouping gives each duplicate CLUSTER one
+    * canonical survivor — the semantics large-scale corpus dedup actually
+    * wants.
+    *
+    * Scale shape: rounds needed = graph diameter. Near-dup components are
+    * dense (families of variants of one source document), so diameters are
+    * small and a handful of rounds converge; the shuffle each round carries
+    * one (node, label) row per node and one join row per edge — never
+    * materializing components as arrays on one reducer. For adversarial
+    * long-chain graphs the known upgrade is the alternating large-star /
+    * small-star algorithm (O(log n) rounds); the fixpoint loop and
+    * per-round materialization here are the same harness it would plug into.
+    * Fails loudly if maxIter rounds do not converge rather than returning
+    * partially-propagated labels. */
+  def connectedComponents(pairs: DataFrame, leftCol: String, rightCol: String,
+                          idCol: String = "doc_id",
+                          maxIter: Int = 25): DataFrame = {
+    val a = col(leftCol).cast("long"); val b = col(rightCol).cast("long")
+    val edges = materialize(
+      pairs.select(a.as("_a"), b.as("_b"))
+        .unionByName(pairs.select(b.as("_a"), a.as("_b")))
+        .distinct())
+    var labels = materialize(
+      edges.select(col("_a").as("_id")).distinct()
+        .withColumn("_lbl", col("_id")))
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val viaNbr = edges
+        .join(labels.select(col("_id").as("_b"), col("_lbl").as("_nl")), "_b")
+        .groupBy("_a").agg(min("_nl").as("_nl"))
+      val step = materialize(labels
+        .join(viaNbr.withColumnRenamed("_a", "_id"), Seq("_id"), "left")
+        .select(col("_id"), col("_lbl"),
+          least(col("_lbl"), coalesce(col("_nl"), col("_lbl"))).as("_new")))
+      changed = step.filter(col("_new") < col("_lbl")).count()
+      labels = step.select(col("_id"), col("_new").as("_lbl"))
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds the bound; raise maxIter or switch to " +
+        "the large-star/small-star variant")
+    labels.select(col("_id").as(idCol), col("_lbl").as("group_id"))
+  }
+
   // ── incremental near-dup (batch vs persisted index) ───────────────────────
 
   /** The three relational tables a persistable near-dup index consists of:

@@ -165,6 +165,23 @@ class FunctionsSpec extends SparkSpec {
     assert(dropped.contains(4L) && !dropped.contains(1L)) // min-id survives
   }
 
+  test("connected components: transitive chains collapse to one group per component") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),       // chain: one component
+        (10L, 11L),                                     // isolated pair
+        (20L, 21L), (21L, 22L), (20L, 22L))             // triangle
+      .toDF("left_id", "right_id")
+    val got = SimOps.connectedComponents(pairs, "left_id", "right_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // non-convergence fails loudly (a 30-hop chain cannot finish in 2 rounds)
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("left_id", "right_id")
+    intercept[IllegalArgumentException] {
+      SimOps.connectedComponents(chain, "left_id", "right_id", maxIter = 2)
+    }
+  }
+
   test("incremental exact dedup flags batch docs whose fingerprint is already ingested") {
     // the q_dedup_incr shape with a corpus that HAS a cross-boundary dup
     // (the driver corpus has none at gate SF — the true-positive path lives here)
