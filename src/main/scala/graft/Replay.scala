@@ -123,14 +123,19 @@ object Replay {
       // same convention as `run`: "" for an optional positional means skip
       val minQuality = rest.headOption.filter(_.nonEmpty).map(_.toDouble).getOrElse(0.0)
       val grams = rest.lift(1).filter(_.nonEmpty)
+      // optional 4th positional: near-dup jaccard threshold → cluster-level
+      // dedup (connected components) rides inside the export
+      val ndTheta = rest.lift(2).filter(_.nonEmpty).map(_.toDouble)
       val t = LakeTable.load(spark, table)
       graft.operators.Curate
-        .curated(t, grams.map(g => spark.read.parquet(g)), minQuality)
+        .curated(t, grams.map(g => spark.read.parquet(g)), minQuality,
+          neardupThreshold = ndTheta)
         .write.mode("overwrite").partitionBy("split").parquet(out)
       val counts = spark.read.parquet(out).groupBy("split").count()
         .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"curated ${out}: $counts (from ${CdcMerge.state(t).count()} resolved " +
-        s"rows; minQuality=$minQuality decontam=${grams.isDefined})")
+        s"rows; minQuality=$minQuality decontam=${grams.isDefined} " +
+        s"neardup=${ndTheta.fold("off")(_.toString)})")
       spark.stop()
 
     case "compactIndex" :: idxDir :: Nil =>

@@ -147,6 +147,18 @@ class MaintainSpec extends SparkSpec {
       CdcMerge.state(t).filter(col("text").isNotNull).count())
     assert(!Curate.curated(t).select("conv_id").collect()
       .map(_.getString(0)).contains("c5"))
+    // near-dup cluster dedup inside the export: c1 and c4 are near-dups
+    // (shared long prefix) → exactly one of the cluster survives; c2/c3 are
+    // judged on their own merits as before
+    val nd = Curate.curated(t, Some(grams), minQuality = 0.5,
+      neardupThreshold = Some(0.5))
+    val ndKept = nd.select("conv_id").collect().map(_.getString(0)).toSet
+    assert(ndKept.size === 1 && ndKept.subsetOf(Set("c1", "c4")),
+      s"expected one canonical of the c1/c4 cluster, got $ndKept")
+    // deterministic: same input → same canonical
+    assert(Curate.curated(t, Some(grams), minQuality = 0.5,
+      neardupThreshold = Some(0.5))
+      .select("conv_id").collect().map(_.getString(0)).toSet === ndKept)
   }
 
   test("scoped deleteWhere removes only matching rows, copy-on-write") {

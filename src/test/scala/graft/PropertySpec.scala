@@ -107,6 +107,43 @@ class PropertySpec extends SparkSpec {
     (1 to n).map(i => docGen.apply(Gen.Parameters.default, Seed(7000L + i))
       .getOrElse(Nil)).filter(_.nonEmpty)
 
+  test("property: connected components equal a union-find oracle on random graphs") {
+    import spark.implicits._
+    import graft.functions.SimOps
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      nodes <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, nodes - 1); b <- Gen.choose(0, nodes - 1)
+      } yield (a.toLong, b.toLong))
+    } yield edges.filter { case (a, b) => a != b }
+    (1 to 6).foreach { i =>
+      val edges = edgeGen.apply(Gen.Parameters.default, Seed(7000L + i))
+        .getOrElse(Nil)
+      if (edges.nonEmpty) {
+        // union-find oracle (path compression, plain Scala)
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+        }
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val expected = {
+          val byRoot = nodes.groupBy(find)
+          byRoot.values.flatMap(ns => { val m = ns.min; ns.map(_ -> m) }).toMap
+        }
+        val got = SimOps.connectedComponents(
+            edges.toDF("left_id", "right_id"), "left_id", "right_id",
+            maxIter = 60) // random graphs can draw long chains; bound ≥ diameter
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === expected, s"case $i edges=$edges")
+      }
+    }
+  }
+
   test("property: LSH-verified jaccard equals brute-force jaccard on every emitted pair") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
