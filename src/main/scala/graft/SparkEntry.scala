@@ -252,6 +252,21 @@ object SparkEntry {
         .unionByName(o.filter(col("o_totalprice") < 1000)
           .select(lit("low").as("band"), col("o_orderkey"), col("o_totalprice")))
     }),
+    "q_asof_join" -> ((s, d) => {
+      // LEFT AS-OF JOIN (operators/asof.scala): each click paired with the
+      // user's most recent purchase at-or-before it — one key shuffle + one
+      // sort + a carried-struct running window; never a per-key range
+      // explosion. Right side pre-aggregated to unique (user_id, ts).
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(round(max("value"), 3).as("last_purchase_value"))
+      graft.operators.AsofJoin
+        .leftAsof(clicks, purchases, Seq("user_id"), "ts", "ts")
+        .select("user_id", "click_id", "last_purchase_value")
+    }),
     "q_union_multi" -> ((s, d) => {
       // §2.7 N-way HETEROGENEOUS union — the reference's KSB pattern of
       // unioning N differently-shaped ontology/metadata tables into one feed
@@ -690,6 +705,15 @@ object SparkEntry {
       """SELECT 'high' AS band, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000
          UNION ALL
          SELECT 'low' AS band, o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 1000""",
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the composed
+    // union+window form — same inclusive l.ts >= r.ts semantics
+    "q_asof_join" ->
+      """WITH l AS (SELECT user_id, event_id AS click_id, ts FROM events
+                    WHERE event_type = 'click'),
+              r AS (SELECT user_id, ts, round(max(value), 3) AS last_purchase_value
+                    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+         SELECT l.user_id, l.click_id, r.last_purchase_value
+         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
     "q_union_multi" ->
       """SELECT CAST(c_custkey AS BIGINT) AS entity_id, c_name AS name,
                 c_acctbal AS acctbal, 'customer' AS src

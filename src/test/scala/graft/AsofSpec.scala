@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsofJoin
+
+class AsofSpec extends SparkSpec {
+
+  private def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+
+  test("left as-of join: latest right at-or-before each left row, inclusive ties, null when none") {
+    import spark.implicits._
+    val clicks = Seq(("u1", 10L, ts(0)), ("u1", 11L, ts(3)), ("u1", 12L, ts(7)),
+        ("u1", 13L, ts(5)),                 // exactly at a purchase: inclusive
+        ("u2", 20L, ts(4)))                 // user with no purchases at all
+      .toDF("user_id", "click_id", "ts")
+    val purchases = Seq(("u1", ts(1), 5.0), ("u1", ts(5), 9.0))
+      .toDF("user_id", "ts", "pv")
+    val got = AsofJoin.leftAsof(clicks, purchases, Seq("user_id"), "ts", "ts")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got === Map(10L -> None,        // click before any purchase
+      11L -> Some(5.0),                    // t3: latest purchase t1
+      13L -> Some(9.0),                    // t5 == purchase t5: inclusive
+      12L -> Some(9.0),                    // t7: latest purchase t5
+      20L -> None))                        // no purchases for u2
+  }
+
+  test("as-of join equals a brute-force per-row scan on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val lefts = (0 until 300).map(i =>
+      (s"u${rnd.nextInt(8)}", i.toLong, ts(rnd.nextInt(100))))
+    val rights = (0 until 150).map(i =>
+      (s"u${rnd.nextInt(8)}", ts(rnd.nextInt(100)), i.toDouble))
+      // unique (key, time): keep max payload per instant, like the operator requires
+      .groupBy(r => (r._1, r._2)).map { case ((u, t), rs) => (u, t, rs.map(_._3).max) }
+      .toSeq
+    val got = AsofJoin.leftAsof(lefts.toDF("user_id", "click_id", "ts"),
+        rights.toDF("user_id", "ts", "pv"), Seq("user_id"), "ts", "ts")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val expected = lefts.map { case (u, id, t) =>
+      val prior = rights.filter(r => r._1 == u && !r._2.after(t))
+      id -> (if (prior.isEmpty) None
+             else Some(prior.maxBy(_._2.getTime)._3))
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("as-of join shuffles once (single key exchange, no nested loop)") {
+    import spark.implicits._
+    val l = Seq(("a", 1L, ts(1))).toDF("k", "id", "ts")
+    val r = Seq(("a", ts(0), 1.0)).toDF("k", "ts", "v")
+    val plan = AsofJoin.leftAsof(l, r, Seq("k"), "ts", "ts")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"expected one key shuffle:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
+}
