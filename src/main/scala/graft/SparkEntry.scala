@@ -252,6 +252,22 @@ object SparkEntry {
         .unionByName(o.filter(col("o_totalprice") < 1000)
           .select(lit("low").as("band"), col("o_orderkey"), col("o_totalprice")))
     }),
+    "q_range_join" -> ((s, d) => {
+      // RANGE JOIN (operators/range.scala): lineitem ship days vs 7-day
+      // order windows, no equi key — binned to a hash equi-join on the bin id
+      // (bin width = window length → ~2 bins per interval) instead of the
+      // BroadcastNestedLoopJoin the raw BETWEEN condition would compile to
+      val epoch = lit("1992-01-01")
+      val intervals = t(s, d, "orders").filter(col("o_orderkey") % 1500 === 0)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), epoch).cast("long").as("w_start"))
+        .withColumn("w_end", col("w_start") + 6)
+      val points = t(s, d, "lineitem")
+        .select(datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"))
+      graft.operators.RangeJoin
+        .pointInInterval(points, "ship_day", intervals, "w_start", "w_end", 7L)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_shipped_in_window"))
+    }),
     "q_asof_join" -> ((s, d) => {
       // LEFT AS-OF JOIN (operators/asof.scala): each click paired with the
       // user's most recent purchase at-or-before it — one key shuffle + one
@@ -705,6 +721,18 @@ object SparkEntry {
       """SELECT 'high' AS band, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000
          UNION ALL
          SELECT 'low' AS band, o_orderkey, o_totalprice FROM orders WHERE o_totalprice < 1000""",
+    // the oracle states the range join as the raw BETWEEN theta join the
+    // binned equi-join must be equivalent to
+    "q_range_join" ->
+      """WITH i AS (SELECT o_orderkey,
+                           date_diff('day', DATE '1992-01-01', o_orderdate) AS w_start,
+                           date_diff('day', DATE '1992-01-01', o_orderdate) + 6 AS w_end
+                    FROM orders WHERE o_orderkey % 1500 = 0),
+              p AS (SELECT date_diff('day', DATE '1992-01-01', l_shipdate) AS ship_day
+                    FROM lineitem)
+         SELECT o_orderkey, count(*) AS n_shipped_in_window
+         FROM i JOIN p ON p.ship_day BETWEEN i.w_start AND i.w_end
+         GROUP BY o_orderkey""",
     // DuckDB's native ASOF LEFT JOIN is the oracle for the composed
     // union+window form — same inclusive l.ts >= r.ts semantics
     "q_asof_join" ->

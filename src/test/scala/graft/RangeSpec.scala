@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+class RangeSpec extends SparkSpec {
+
+  test("point-in-interval: exact containment incl. boundaries, empty and inverted intervals") {
+    import spark.implicits._
+    val points = Seq(0L, 5L, 10L, 15L, 99L).map(Tuple1(_)).toDF("p")
+    val intervals = Seq(("a", 0L, 10L),    // matches 0,5,10 (inclusive ends)
+        ("b", 5L, 5L),                     // degenerate: matches 5 only
+        ("c", 20L, 30L),                   // matches nothing
+        ("d", 9L, 2L))                     // inverted: matches nothing
+      .toDF("tag", "s", "e")
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "s", "e", 4L)
+      .select("tag", "p").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === Set(("a", 0L), ("a", 5L), ("a", 10L), ("b", 5L)))
+  }
+
+  test("binned range join equals brute force for every bin width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val points = (0 until 400).map(_ => rnd.nextInt(200).toLong)
+    val intervals = (0 until 60).map { i =>
+      val s = rnd.nextInt(200).toLong; (i.toLong, s, s + rnd.nextInt(25))
+    }
+    val expected = (for {
+      p <- points; (id, s, e) <- intervals if p >= s && p <= e
+    } yield (id, p)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (w <- Seq(1L, 7L, 16L, 1000L)) {
+      val got = RangeJoin.pointInInterval(points.map(Tuple1(_)).toDF("p"), "p",
+          intervals.toDF("id", "s", "e"), "s", "e", w)
+        .groupBy("id", "p").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === expected, s"binWidth=$w")
+    }
+  }
+
+  test("range join plan is a hash equi-join on the bin, never a nested loop") {
+    import spark.implicits._
+    val plan = RangeJoin.pointInInterval(
+        Seq(1L).map(Tuple1(_)).toDF("p"), "p",
+        Seq((1L, 0L, 2L)).toDF("id", "s", "e"), "s", "e", 2L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Join"), plan)
+  }
+}
