@@ -53,7 +53,10 @@ object Replay {
         queryId = queryId, numBuckets = buckets, maxFilesPerTrigger = mft,
         // WAL encoding override (parquet | json | csv) for line-feed exports
         sourceFormat = sys.env.getOrElse("SPARK_GRAFT_SOURCE_FORMAT", "parquet"),
-        neardupIndexDir = ndIdx, contamBenchDir = contam))
+        neardupIndexDir = ndIdx, contamBenchDir = contam,
+        // fold the near-dup index every N epochs while tailing
+        neardupCompactEvery = sys.env.get("SPARK_GRAFT_ND_COMPACT_EVERY")
+          .map(_.toInt)))
       val secs = (System.nanoTime() - t0) / 1e9
       val t = LakeTable.load(spark, table)
       println(f"replay done in $secs%.1fs; table rows=${CdcMerge.state(t).count()} " +

@@ -95,7 +95,9 @@ object NeardupIndex {
     }
 
   private def writeLedger(io: LakeIO, dir: String, l: Ledger): Unit =
-    io.writeStringAtomic(ledgerPath(dir),
+    // atomic REPLACE: the ledger is a single-writer newest-wins pointer, not
+    // an optimistic-concurrency manifest — each compaction supersedes it
+    io.replaceStringAtomic(ledgerPath(dir),
       s"""{"gen":${l.gen},"compactedThrough":${l.compactedThrough}}""")
 
   /** Epoch numbers present on disk — the UNION across all three tables, so a

@@ -28,6 +28,10 @@ trait LakeIO {
   /** Write via a temp sibling + atomic rename; MUST fail if `path` exists
     * (the optimistic-concurrency commit point). */
   def writeStringAtomic(path: String, content: String): Unit
+  /** Write via a temp sibling + atomic rename, REPLACING any existing file —
+    * for single-writer pointers (e.g. the near-dup index ledger) where the
+    * newest value wins; manifests keep the fail-if-exists commit point. */
+  def replaceStringAtomic(path: String, content: String): Unit
   def move(src: String, dst: String): Unit
   def delete(path: String): Unit
   def deleteRecursively(path: String): Unit
@@ -49,6 +53,13 @@ object NioLakeIO extends LakeIO {
     val tmp = target.resolveSibling("." + target.getFileName + ".tmp")
     Files.writeString(tmp, content)
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+  def replaceStringAtomic(path: String, content: String): Unit = {
+    val target = Paths.get(path)
+    val tmp = target.resolveSibling("." + target.getFileName + ".tmp")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
   def move(src: String, dst: String): Unit =
     Files.move(Paths.get(src), Paths.get(dst), StandardCopyOption.ATOMIC_MOVE)
@@ -92,6 +103,18 @@ class HadoopLakeIO(conf: org.apache.hadoop.conf.Configuration) extends LakeIO {
     finally out.close()
     if (!f.rename(tmp, target))
       throw new IllegalStateException(s"commit rename failed: $tmp -> $target")
+  }
+  def replaceStringAtomic(path: String, content: String): Unit = {
+    val f = fs(path)
+    val target = new HPath(path)
+    val tmp = new HPath(target.getParent, "." + target.getName + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // FileContext.rename(OVERWRITE) is the atomic-replace primitive on HDFS
+    // (FileSystem.rename refuses existing targets on most drivers)
+    org.apache.hadoop.fs.FileContext.getFileContext(target.toUri, conf)
+      .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
   def move(src: String, dst: String): Unit =
     if (!fs(src).rename(new HPath(src), new HPath(dst)))

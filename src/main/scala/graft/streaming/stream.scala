@@ -43,6 +43,11 @@ object CdcStream {
       neardupIndexDir: Option[String] = None,
       neardupCfg: graft.operators.NeardupIndex.Config =
         graft.operators.NeardupIndex.Config(),
+      // fold the index every N applied epochs (None = manual `Replay
+      // compactIndex` only): a tail that never stops otherwise accumulates a
+      // few files per microbatch forever. Compaction is crash-safe and skips
+      // the newest epoch by design, so running it inline is always safe.
+      neardupCompactEvery: Option[Int] = None,
       // screen ingested text against a benchmark gram set (decontamination at
       // ingest): a parquet of `_h` hashes (SimOps.benchGrams); flagged events
       // land in the `_contam` sibling table, keyed (conv_id, turn_idx, lsn)
@@ -85,9 +90,21 @@ object CdcStream {
         // overwrite absorbs it) and then merges; if the merge committed, the ledger skips
         // the epoch entirely — and its indexing necessarily already happened.
         cfg.neardupIndexDir.foreach { dir =>
-          if (epochId > table.appliedEpoch(cfg.queryId))
+          if (epochId > table.appliedEpoch(cfg.queryId)) {
             graft.operators.NeardupIndex.appendBatch(dir, batch, cfg.neardupCfg,
               epoch = Some(epochId))
+            // periodic fold: bounded file count without stopping the tail.
+            // Re-running after a crash-redelivery is harmless (second compact
+            // with no new foldable epochs is a GC-only no-op).
+            cfg.neardupCompactEvery.foreach { n =>
+              if (epochId > 0 && epochId % n == 0) {
+                val (before, after) = graft.operators.NeardupIndex
+                  .compact(batch.sparkSession, dir)
+                System.err.println(
+                  s"[graft] epoch $epochId: compacted near-dup index $before -> $after files")
+              }
+            }
+          }
         }
         // Decontamination at ingest: per-epoch OVERWRITE makes a redelivered
         // epoch rewrite the same _contam partition — idempotent without locks

@@ -60,6 +60,20 @@ class LakeIoSpec extends SparkSpec {
     }
   }
 
+  test("replaceStringAtomic overwrites in place on both IO implementations") {
+    Seq(("nio", NioLakeIO: graft.sources.LakeIO), ("hdp", hio)).foreach {
+      case (tag, io) =>
+        val p = s"${tmpDir(s"replace-$tag")}/ptr.json"
+        io.replaceStringAtomic(p, "v1")        // create
+        assert(io.readString(p) === "v1")
+        io.replaceStringAtomic(p, "v2")        // replace (newest-wins pointer)
+        assert(io.readString(p) === "v2")
+        // the fail-if-exists commit point is untouched by the new primitive
+        intercept[IllegalStateException] { io.writeStringAtomic(p, "v3") }
+        assert(io.readString(p) === "v2")
+    }
+  }
+
   test("vacuum works through HadoopLakeIO") {
     val io = hio
     val t = LakeTable.create(spark, tmpDir("lakeio-vac"),

@@ -371,6 +371,41 @@ class StreamSpec extends SparkSpec {
     assert(indexState() === before)
   }
 
+  test("stream-inline index compaction bounds files and preserves the logical index") {
+    import graft.operators.NeardupIndex
+    import spark.implicits._
+    val src = tmpDir("ic-src")
+    val cols = Seq("conv_id", "turn_idx", "role", "text", "tool", "ts", "op", "lsn")
+    (0 until 5).foreach { e =>
+      Seq((s"c$e", 0, "user", s"epoch $e words shared across batches plus tail$e",
+          null: String, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "I",
+          e.toLong + 1))
+        .toDF(cols: _*).repartition(1).write.parquet(f"$src/e$e%02d")
+    }
+    val ncfg = NeardupIndex.Config(shingleN = 2)
+    val (ia, ib) = (tmpDir("ic-a"), tmpDir("ic-b"))
+    def run(idxDir: String, every: Option[Int]): Unit =
+      CdcStream.runAvailable(spark, CdcStream.Config(src, tmpDir("ic-t"),
+        tmpDir("ic-k"), queryId = "ic", numBuckets = 4,
+        maxFilesPerTrigger = Some(1), neardupIndexDir = Some(idxDir),
+        neardupCfg = ncfg, neardupCompactEvery = every))
+    run(ia, Some(2)); run(ib, None)
+    assert(new java.io.File(s"$ia/ledger.json").exists(),
+      "inline compaction never committed a generation")
+    def state(dir: String) = {
+      val l = NeardupIndex.load(spark, dir)
+      (l.shingles.orderBy("doc_id", "_s").collect().toSeq,
+        l.sizes.orderBy("doc_id").collect().toSeq)
+    }
+    assert(state(ia) === state(ib), "compacting stream diverged from plain stream")
+    def files(dir: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    assert(files(ia) < files(ib), s"${files(ia)} !< ${files(ib)}")
+  }
+
   test("streaming decontamination guard: flagged events equal the batch recompute") {
     import graft.functions.SimOps
     val src = tmpDir("ct-src"); val tbl = tmpDir("ct-tbl"); val ckpt = tmpDir("ct-ck")
