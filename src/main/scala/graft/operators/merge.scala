@@ -182,7 +182,14 @@ object CdcMerge {
       Option(skewCache.get(skewKey)) match {
         case Some((sampledAt, share)) if epochId - sampledAt < skewSampleEvery => share
         case _ =>
-          val share = Skew.topKeyShare(good, "conv_id")
+          // METRICS-FREE twin of `good`: an Observation resolves with the FIRST
+          // action over its plan, and the sampling action here would resolve
+          // rejectObs with the sample's (wrong, often zero) n_rejects — on
+          // every sampling epoch rejects then silently skipped the dead-letter
+          // write (caught by the malformed-json-line StreamSpec case). The
+          // sampler must therefore never touch the observed plan.
+          val goodNoObs = batch.filter(rejectReason(batch, knownRoles).isNull)
+          val share = Skew.topKeyShare(goodNoObs, "conv_id")
           skewCache.put(skewKey, (epochId, share))
           share
       }

@@ -371,6 +371,27 @@ class StreamSpec extends SparkSpec {
     assert(indexState() === before)
   }
 
+  test("malformed json WAL lines dead-letter with a reason instead of dropping") {
+    // the sourceFormat=json contract: a corrupt line null-fills under the
+    // explicit schema and flows into _rejects, never silently vanishing
+    val src = tmpDir("mj-src"); val tbl = tmpDir("mj-tbl"); val ckpt = tmpDir("mj-ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$src/e0"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$src/e0/part-000.json"),
+      """{"conv_id":"c1","turn_idx":0,"role":"user","text":"good row","tool":null,"ts":"2024-01-01T10:00:00.000Z","op":"I","lsn":1}
+        |this line is not json at all {{{
+        |{"conv_id":"c2","turn_idx":0,"role":"user","text":"also good","tool":null,"ts":"2024-01-01T10:00:01.000Z","op":"I","lsn":2}
+        |""".stripMargin)
+    CdcStream.runAvailable(spark, CdcStream.Config(src, tbl, ckpt,
+      queryId = "mj", numBuckets = 4, sourceFormat = "json"))
+    val t = LakeTable.load(spark, tbl)
+    val state = CdcMerge.state(t)
+    assert(state.count() === 2) // both good rows applied
+    val rejects = spark.read.parquet(s"$tbl/_rejects/q=mj/e=*")
+    assert(rejects.count() === 1, "corrupt line must land in _rejects")
+    assert(rejects.select("reason").collect()(0).getString(0).nonEmpty)
+  }
+
   test("stream-inline index compaction bounds files and preserves the logical index") {
     import graft.operators.NeardupIndex
     import spark.implicits._
