@@ -65,6 +65,37 @@ object StreamAnalytics {
         col("n_null_text"), col("avg_quality"), col("n_tokens"))
   }
 
+  /** STREAM-STREAM enrichment join: attach to each event of one stream the
+    * row arriving on a SECOND stream for the same key within ±`joinWindow` of
+    * its event time — left outer, so events whose enrichment never arrives
+    * still emit (with nulls) once the watermark proves it cannot come. The
+    * transcript-pipeline use: tool results / safety annotations / human labels
+    * land on their own feed and must attach to the turn they describe without
+    * replaying the table.
+    *
+    * Spark-native shape: watermark on BOTH inputs + an event-time range in
+    * the join condition is exactly what bounds the join STATE — each side
+    * buffers only rows younger than watermark + window, so state size tracks
+    * rate × window, not stream history. Equality columns `keyCols` keep the
+    * state-store keyed (no cross-key scan). The annotation side must not
+    * reuse the left side's non-key column names (its key columns are dropped
+    * from the output; everything else rides through).
+    */
+  def enrichWithinWindow(events: DataFrame, annotations: DataFrame,
+                         keyCols: Seq[String], eventTime: String,
+                         annTime: String, watermarkDelay: String = "10 minutes",
+                         joinWindow: String = "5 minutes"): DataFrame = {
+    val ev = events.withWatermark(eventTime, watermarkDelay)
+    val ann = annotations.withWatermark(annTime, watermarkDelay)
+    val keyCond = keyCols.map(k => ev(k) === ann(k)).reduce(_ && _)
+    val timeCond =
+      ann(annTime) >= ev(eventTime) - expr(s"INTERVAL $joinWindow") &&
+        ann(annTime) <= ev(eventTime) + expr(s"INTERVAL $joinWindow")
+    keyCols.foldLeft(ev.join(ann, keyCond && timeCond, "left_outer")) {
+      (df, k) => df.drop(ann(k))
+    }
+  }
+
   /** Pure sessionization core: carried state + this batch's event times (ms) →
     * (closed sessions as (start, end, n), new open state). Deterministic:
     * events are processed in ascending time order; an out-of-order time that

@@ -371,6 +371,37 @@ class StreamSpec extends SparkSpec {
     assert(indexState() === before)
   }
 
+  test("stream-stream enrichment: annotations attach within the window, nulls sealed by watermark") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val evS = MemoryStream[(String, java.sql.Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(String, java.sql.Timestamp)]], spark)
+    val annS = MemoryStream[(String, java.sql.Timestamp, String)](
+      implicitly[org.apache.spark.sql.Encoder[(String, java.sql.Timestamp, String)]], spark)
+    val joined = StreamAnalytics.enrichWithinWindow(
+      evS.toDF().toDF("conv_id", "ts"), annS.toDF().toDF("conv_id", "ats", "label"),
+      Seq("conv_id"), "ts", "ats",
+      watermarkDelay = "10 minutes", joinWindow = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      evS.addData(("c1", ts("2024-01-01 10:00:00")), ("c2", ts("2024-01-01 10:01:00")))
+      annS.addData(("c1", ts("2024-01-01 10:02:00"), "ok"),      // within ±5m → match
+        ("c2", ts("2024-01-01 10:30:00"), "too-late"))           // outside window
+      q.processAllAvailable()
+      // advance BOTH watermarks far past the events: the unmatched left row
+      // (c2) can now be sealed and emitted with a null label
+      evS.addData(("zz", ts("2024-01-01 12:00:00")))
+      annS.addData(("zz", ts("2024-01-01 12:00:00"), "x"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT conv_id, label FROM ssj").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(got.get("c1") === Some(Some("ok")), s"got $got")
+      assert(got.get("c2") === Some(None), s"c2 must emit with null label: $got")
+    } finally q.stop()
+  }
+
   test("malformed json WAL lines dead-letter with a reason instead of dropping") {
     // the sourceFormat=json contract: a corrupt line null-fills under the
     // explicit schema and flows into _rejects, never silently vanishing
