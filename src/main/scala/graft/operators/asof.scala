@@ -45,6 +45,9 @@ object AsofJoin {
     val clash = payload.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty,
       s"right payload columns collide with left columns: $clash — alias them first")
+    val reserved = Set("_t", "_side", "_rpay", "_asof")
+    val taken = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(taken.isEmpty, s"inputs use reserved internal columns: $taken")
     val rTagged = right.select(
       keyCols.map(col) ++ Seq(col(rightTime).as("_t"), lit(0).as("_side"),
         struct(payload.map(col): _*).as("_rpay")): _*)

@@ -38,6 +38,8 @@ object RangeJoin {
     val clash = points.columns.toSet.intersect(intervals.columns.toSet)
     require(clash.isEmpty,
       s"point/interval column names collide: $clash — alias them first")
+    require(!(points.columns ++ intervals.columns).contains("_bin"),
+      "inputs use the reserved internal column _bin")
     def binOf(c: org.apache.spark.sql.Column) = floor(c / binWidth)
     val binned = intervals
       .filter(col(endCol) >= col(startCol))
