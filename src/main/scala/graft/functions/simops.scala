@@ -320,12 +320,12 @@ object SimOps {
     * dense (families of variants of one source document), so diameters are
     * small and a handful of rounds converge; the shuffle each round carries
     * one (node, label) row per node and one join row per edge — never
-    * materializing components as arrays on one reducer. For adversarial
-    * long-chain graphs the known upgrade is the alternating large-star /
-    * small-star algorithm (O(log n) rounds); the fixpoint loop and
-    * per-round materialization here are the same harness it would plug into.
-    * Fails loudly if maxIter rounds do not converge rather than returning
-    * partially-propagated labels. */
+    * materializing components as arrays on one reducer. If maxIter rounds do
+    * not converge (an adversarial long-chain graph), the operator ESCALATES
+    * to [[connectedComponentsStar]] — the diameter-independent O(log n)-round
+    * algorithm — instead of returning partially-propagated labels; the fast
+    * dense-family path stays the default because its per-round cost is lower
+    * (one join vs two plus an edge-set diff). */
   def connectedComponents(pairs: DataFrame, leftCol: String, rightCol: String,
                           idCol: String = "doc_id",
                           maxIter: Int = 25): DataFrame = {
@@ -351,11 +351,70 @@ object SimOps {
       labels = step.select(col("_id"), col("_new").as("_lbl"))
       iter += 1
     }
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "component diameter exceeds the bound; raise maxIter or switch to " +
-        "the large-star/small-star variant")
-    labels.select(col("_id").as(idCol), col("_lbl").as("group_id"))
+    if (changed == 0)
+      labels.select(col("_id").as(idCol), col("_lbl").as("group_id"))
+    else {
+      // diameter exceeded the propagation bound (a long-chain graph): switch
+      // to the O(log n)-round algorithm instead of failing
+      System.err.println(s"[graft] connectedComponents: min-label propagation " +
+        s"did not converge in $maxIter rounds, switching to large-star/small-star")
+      connectedComponentsStar(pairs, leftCol, rightCol, idCol)
+    }
+  }
+
+  /** Connected components via ALTERNATING LARGE-STAR / SMALL-STAR (the
+    * MapReduce-era O(log n)-round algorithm): each round rewires every node's
+    * larger neighbors (large-star) or smaller-or-equal neighbors (small-star)
+    * directly to the minimum of its neighborhood, flattening chains
+    * exponentially until the edge set is a union of stars rooted at each
+    * component's minimum. Diameter-independent — the remedy
+    * [[connectedComponents]] escalates to when plain min-propagation exceeds
+    * its round bound. Each round is two joins + a groupBy-min over the edge
+    * list; the edge set never grows beyond one edge per (node, round-min).
+    * Same output contract as [[connectedComponents]] (PropertySpec proves
+    * both equal a union-find oracle on random graphs, chains included). */
+  def connectedComponentsStar(pairs: DataFrame, leftCol: String,
+                              rightCol: String,
+                              idCol: String = "doc_id"): DataFrame = {
+    val a = col(leftCol).cast("long"); val b = col(rightCol).cast("long")
+    // edges kept SYMMETRIC + DISTINCT so every node sees its full neighborhood
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("_v").as("_u"), col("_u").as("_v")))
+        .filter(col("_u") =!= col("_v")).distinct()
+    // m(u) = min(neighborhood(u) ∪ {u})
+    def mOf(e: DataFrame): DataFrame =
+      e.groupBy("_u").agg(min("_v").as("_mn"))
+        .select(col("_u"), least(col("_mn"), col("_u")).as("_m"))
+    // large-star: rewire every LARGER neighbor of u straight to m(u)
+    def largeStar(e: DataFrame): DataFrame =
+      e.join(mOf(e), "_u").filter(col("_v") > col("_u"))
+        .select(col("_v").as("_u"), col("_m").as("_v"))
+    // small-star: rewire every smaller-or-equal neighbor AND u itself to m(u)
+    // (the self edge is load-bearing: dropping it disconnects u from its min
+    // whenever all of u's neighbors are the min itself)
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = mOf(e)
+      val nbr = e.join(m, "_u")
+        .filter(col("_v") <= col("_u") && col("_v") =!= col("_m"))
+        .select(col("_v").as("_u"), col("_m").as("_v"))
+      val self = m.filter(col("_u") =!= col("_m"))
+        .select(col("_u"), col("_m").as("_v"))
+      nbr.unionByName(self)
+    }
+    var edges = materialize(sym(pairs.select(a.as("_u"), b.as("_v"))))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 64) { // 64 rounds ≈ 2^64-node chains: unreachable
+      val next = materialize(sym(smallStar(sym(largeStar(edges)))))
+      // fixpoint when the (symmetric, distinct) edge set is unchanged
+      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      iter += 1
+    }
+    require(converged, "large-star/small-star did not converge in 64 rounds")
+    // at the star fixpoint each node's neighborhood-min IS its component min
+    // (children touch their root; a root's least(self, children) is itself)
+    mOf(edges).select(col("_u").as(idCol), col("_m").as("group_id"))
   }
 
   // ── incremental near-dup (batch vs persisted index) ───────────────────────

@@ -175,11 +175,17 @@ class FunctionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
-    // non-convergence fails loudly (a 30-hop chain cannot finish in 2 rounds)
+    // a 30-hop chain cannot finish min-propagation in 2 rounds — the operator
+    // escalates to large-star/small-star and still produces correct groups
     val chain = (1L until 30L).map(i => (i, i + 1)).toDF("left_id", "right_id")
-    intercept[IllegalArgumentException] {
-      SimOps.connectedComponents(chain, "left_id", "right_id", maxIter = 2)
-    }
+    val viaFallback = SimOps.connectedComponents(chain, "left_id", "right_id",
+        maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFallback === (1L to 30L).map(_ -> 1L).toMap)
+    // and the star algorithm invoked directly agrees
+    val viaStar = SimOps.connectedComponentsStar(chain, "left_id", "right_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar === viaFallback)
   }
 
   test("incremental exact dedup flags batch docs whose fingerprint is already ingested") {

@@ -140,6 +140,11 @@ class PropertySpec extends SparkSpec {
             maxIter = 60) // random graphs can draw long chains; bound ≥ diameter
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(got === expected, s"case $i edges=$edges")
+        // the O(log n) large-star/small-star variant must agree on every graph
+        val gotStar = SimOps.connectedComponentsStar(
+            edges.toDF("left_id", "right_id"), "left_id", "right_id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotStar === expected, s"star case $i edges=$edges")
       }
     }
   }
