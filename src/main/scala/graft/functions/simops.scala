@@ -329,7 +329,11 @@ object SimOps {
   def connectedComponents(pairs: DataFrame, leftCol: String, rightCol: String,
                           idCol: String = "doc_id",
                           maxIter: Int = 25): DataFrame = {
-    val a = col(leftCol).cast("long"); val b = col(rightCol).cast("long")
+    // id-type-GENERIC: both columns must share one orderable type (long ids
+    // give fixed-width hash-agg buffers; string ids — e.g. composite keys —
+    // are legal and collision-free, paying a sort-agg over the label table
+    // only, which is bounded by the docs that pair at all)
+    val a = col(leftCol); val b = col(rightCol)
     val edges = materialize(
       pairs.select(a.as("_a"), b.as("_b"))
         .unionByName(pairs.select(b.as("_a"), a.as("_b")))
@@ -376,7 +380,7 @@ object SimOps {
   def connectedComponentsStar(pairs: DataFrame, leftCol: String,
                               rightCol: String,
                               idCol: String = "doc_id"): DataFrame = {
-    val a = col(leftCol).cast("long"); val b = col(rightCol).cast("long")
+    val a = col(leftCol); val b = col(rightCol) // id-type-generic (see above)
     // edges kept SYMMETRIC + DISTINCT so every node sees its full neighborhood
     def sym(e: DataFrame): DataFrame =
       e.unionByName(e.select(col("_v").as("_u"), col("_u").as("_v")))

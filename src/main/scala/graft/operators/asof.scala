@@ -24,9 +24,12 @@ import org.apache.spark.sql.functions._
   *
   * Ties: a right row at exactly `leftTime` IS matched (side ordering puts
   * right before left at equal timestamps) — the same inclusive `l.ts >= r.ts`
-  * semantics as DuckDB's `ASOF LEFT JOIN`. `right` must be unique per
-  * (keyCols, rightTime); pre-aggregate it otherwise (equal-time right rows
-  * have no defined "latest").
+  * semantics as DuckDB's `ASOF LEFT JOIN`. Right rows with a NULL
+  * `rightTime` are excluded (no position on the timeline). `right` must be
+  * unique per (keyCols, rightTime); pre-aggregate it otherwise (equal-time
+  * right rows have no defined "latest") — set
+  * `spark.graft.asof.checkUnique=true` to have the operator assert this
+  * loudly (debug mode; costs one extra aggregation over the right side).
   *
   * CDC relevance: "state as of this event's time" is the temporal lookup a
   * transcript pipeline needs to join events against the latest prior
@@ -48,7 +51,25 @@ object AsofJoin {
     val reserved = Set("_t", "_side", "_rpay", "_asof")
     val taken = (left.columns ++ right.columns).toSet.intersect(reserved)
     require(taken.isEmpty, s"inputs use reserved internal columns: $taken")
-    val rTagged = right.select(
+    // a NULL right timestamp has no place on the timeline: NULLs sort first
+    // in the window order and would be carried onto every left row as if the
+    // row occurred at -infinity — exclude them, matching DuckDB's ASOF
+    // semantics (rightTime <= leftTime is UNKNOWN for NULL)
+    val rightClean = right.filter(col(rightTime).isNotNull)
+    // debug-mode guard for the uniqueness precondition above: fail LOUDLY on
+    // duplicate (key, time) right rows instead of silently picking a
+    // struct-max. An extra full aggregation over the right side — opt-in via
+    // conf, not the production path.
+    if (right.sparkSession.conf.get("spark.graft.asof.checkUnique", "false").toBoolean) {
+      val dups = rightClean
+        .groupBy((keyCols :+ rightTime).map(col): _*).count()
+        .filter(col("count") > 1).limit(5)
+        .collect()
+      require(dups.isEmpty,
+        s"asof right side is not unique per (${keyCols.mkString(",")}, $rightTime): " +
+          s"e.g. ${dups.toSeq.take(3).mkString("; ")} — pre-aggregate it first")
+    }
+    val rTagged = rightClean.select(
       keyCols.map(col) ++ Seq(col(rightTime).as("_t"), lit(0).as("_side"),
         struct(payload.map(col): _*).as("_rpay")): _*)
     val lTagged = left.select(

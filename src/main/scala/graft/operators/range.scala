@@ -40,7 +40,13 @@ object RangeJoin {
       s"point/interval column names collide: $clash — alias them first")
     require(!(points.columns ++ intervals.columns).contains("_bin"),
       "inputs use the reserved internal column _bin")
-    def binOf(c: org.apache.spark.sql.Column) = floor(c / binWidth)
+    // EXACT integer floor division: floor(c / W) via `(c - pmod(c, W)) div W`.
+    // The naive floor(col / W) promotes long/long to DOUBLE division, which
+    // above 2^53 (epoch nanoseconds!) rounds bin ids and silently drops
+    // matches. pmod is non-negative, so c - pmod(c, W) = W·⌊c/W⌋ exactly and
+    // the integral `div` of that multiple is ⌊c/W⌋ for negatives too.
+    def binOf(c: org.apache.spark.sql.Column) =
+      call_function("div", c - pmod(c, lit(binWidth)), lit(binWidth))
     val binned = intervals
       .filter(col(endCol) >= col(startCol))
       .withColumn("_bin", explode(sequence(

@@ -56,6 +56,11 @@ object CdcStream {
   )
 
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
+    // Reject bad config UP FRONT: a zero/negative fold period would otherwise
+    // surface as an ArithmeticException (epochId % 0) INSIDE foreachBatch,
+    // killing the stream mid-replay instead of failing at start.
+    cfg.neardupCompactEvery.foreach(n => require(n > 0,
+      s"neardupCompactEvery must be positive, got $n (omit it for manual-only compaction)"))
     // Bootstrap the target before streaming so every batch sees a table.
     LakeTable.loadOrCreate(spark, cfg.tableDir,
       CdcMerge.physicalSchema(Schemas.payloadOf(cfg.schema)), cfg.numBuckets)

@@ -50,6 +50,35 @@ class AsofSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("right rows with NULL timestamp are excluded, not carried from -infinity") {
+    import spark.implicits._
+    val clicks = Seq(("u1", 1L, ts(0)), ("u1", 2L, ts(9))).toDF("user_id", "click_id", "ts")
+    // the NULL-ts purchase would sort nulls-first and leak onto EVERY click
+    // if not excluded; the ts(5) one must still match normally
+    val purchases = Seq(("u1", null.asInstanceOf[Timestamp], 666.0),
+        ("u1", ts(5), 9.0)).toDF("user_id", "ts", "pv")
+    val got = AsofJoin.leftAsof(clicks, purchases, Seq("user_id"), "ts", "ts")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got === Map(1L -> None, 2L -> Some(9.0)))
+  }
+
+  test("duplicate (key, time) right rows fail loudly under the checkUnique flag") {
+    import spark.implicits._
+    val l = Seq(("a", 1L, ts(1))).toDF("k", "id", "ts")
+    val dup = Seq(("a", ts(0), 1.0), ("a", ts(0), 2.0)).toDF("k", "ts", "v")
+    spark.conf.set("spark.graft.asof.checkUnique", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        AsofJoin.leftAsof(l, dup, Seq("k"), "ts", "ts").collect()
+      }
+      assert(e.getMessage.contains("not unique"), e.getMessage)
+      // unique right side passes under the same flag
+      val ok = Seq(("a", ts(0), 1.0)).toDF("k", "ts", "v")
+      assert(AsofJoin.leftAsof(l, ok, Seq("k"), "ts", "ts").count() === 1L)
+    } finally spark.conf.unset("spark.graft.asof.checkUnique")
+  }
+
   test("as-of join shuffles once (single key exchange, no nested loop)") {
     import spark.implicits._
     val l = Seq(("a", 1L, ts(1))).toDF("k", "id", "ts")

@@ -38,6 +38,25 @@ class RangeSpec extends SparkSpec {
     }
   }
 
+  test("bin ids are exact above 2^53 (integer floor division, no double rounding)") {
+    import spark.implicits._
+    // epoch-nanosecond-scale domain: 2^53+1 is NOT representable as a double,
+    // so floor((2^53+1) / 1) under double division lands in the wrong bin and
+    // the naive encoding silently drops the match below
+    val base = (1L << 53) + 1L
+    val points = Seq(base, base + 2L, -base).map(Tuple1(_)).toDF("p")
+    val intervals = Seq(("hit", base, base),          // degenerate at 2^53+1
+        ("wide", base + 1L, base + 3L),               // matches base+2
+        ("neg", -base - 1L, -base + 1L))              // negative domain
+      .toDF("tag", "s", "e")
+    for (w <- Seq(1L, 3L, 1000000007L)) {
+      val got = RangeJoin.pointInInterval(points, "p", intervals, "s", "e", w)
+        .select("tag", "p").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got === Set(("hit", base), ("wide", base + 2L), ("neg", -base)),
+        s"binWidth=$w")
+    }
+  }
+
   test("range join plan is a hash equi-join on the bin, never a nested loop") {
     import spark.implicits._
     val plan = RangeJoin.pointInInterval(

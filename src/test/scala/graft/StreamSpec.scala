@@ -456,6 +456,10 @@ class StreamSpec extends SparkSpec {
       walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
     }
     assert(files(ia) < files(ib), s"${files(ia)} !< ${files(ib)}")
+    // bad fold period is rejected AT START, not as an ArithmeticException
+    // (epochId % 0) inside foreachBatch mid-replay
+    val e = intercept[IllegalArgumentException] { run(tmpDir("ic-z"), Some(0)) }
+    assert(e.getMessage.contains("neardupCompactEvery"), e.getMessage)
   }
 
   test("streaming decontamination guard: flagged events equal the batch recompute") {
