@@ -93,6 +93,31 @@ object SparkEntry {
       t(s, d, "events").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k"))),
+    "q_xml_props" -> ((s, d) => {
+      // XML value-metadata decode (reference ksb/CMetadataXmlParser.java,
+      // ValueMetadataParser.java: C_METADATAXML → typed value constraints).
+      // The test tables carry no XML column, so both engines FIRST build the
+      // same C_METADATAXML-shaped blob from events columns (fixture
+      // construction, shared verbatim with the oracle SQL), then the engine
+      // decodes it with a REAL XML parser — from_xml, codegen-free but
+      // arrow-free and distributed — while DuckDB (no XML functions) extracts
+      // the same fields with single-tag regexes. Enum-valued inputs only:
+      // nothing needing XML escaping reaches the blob.
+      val xml = concat(
+        lit("<ValueMetadata><Version>3.02</Version><DataType>"),
+        when(col("value") >= 100, lit("PosFloat")).otherwise(lit("Enum")),
+        lit("</DataType><Oktousevalues>"),
+        when(col("event_type").isin("purchase", "signup"), lit("Y")).otherwise(lit("N")),
+        lit("</Oktousevalues><Nval>"), col("user_id").cast("string"),
+        lit("</Nval></ValueMetadata>"))
+      val sch = new org.apache.spark.sql.types.StructType()
+        .add("Version", "string").add("DataType", "string")
+        .add("Oktousevalues", "string").add("Nval", "long")
+      t(s, d, "events")
+        .select(col("event_id"), from_xml(xml, sch).as("_m"))
+        .select(col("event_id"), col("_m.DataType").as("data_type"),
+          col("_m.Oktousevalues").as("ok_values"), col("_m.Nval").as("nval"))
+    }),
 
     // ── joins (SURVEY §2.3) ────────────────────────────────────────────────────
     "q_fk_chain" -> ((s, d) => {
@@ -156,6 +181,26 @@ object SparkEntry {
           .select(concat(col("r_name"), lit("/"), col("n_name")).as("anc_path")))
       ancestors.join(prefixes, "anc_path")
         .groupBy("anc_path").agg(count(lit(1)).as("descendants"))
+    }),
+    "q_hier_rollup" -> ((s, d) => {
+      // Hierarchical rollup: per-ANCESTOR aggregates over every descendant
+      // leaf (reference dest/I2b2Statistics.java:205-209 joins per-concept
+      // totals to parents via C_PATH; ksb/LevelReader.java:90-162 walks
+      // levels up the path). Same at-scale shape as q_prefix_equi — each
+      // leaf EXPLODES its ancestor prefixes map-side carrying the measure
+      // (rows ∝ leaves × depth), then ONE hash aggregate keyed on the
+      // ancestor path rolls every level up in a single pass: no recursion,
+      // no per-level scans, no BroadcastNestedLoopJoin (PlanSpec pins it).
+      val leaves = t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("s_acctbal"))
+      leaves
+        .select(explode(array(col("r_name"),
+          concat(col("r_name"), lit("/"), col("n_name")))).as("anc_path"),
+          col("s_acctbal"))
+        .groupBy("anc_path")
+        .agg(count(lit(1)).as("n_desc"), round(sum("s_acctbal"), 2).as("sum_bal"))
     }),
     "q_spec_scan" -> ((s, d) =>
       // S1 via the DECLARATIVE scan-spec layer (reference EntitySpec/DataSpec
@@ -616,6 +661,25 @@ object SparkEntry {
     "q_json_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
          FROM events""",
+    // q_xml_props: DuckDB has no XML functions, so the oracle re-extracts the
+    // fields with single-tag regexes over the SAME blob the engine feeds to
+    // from_xml — the construction expression is shared verbatim with the
+    // Spark side (the subwordDelimClass discipline)
+    "q_xml_props" ->
+      """WITH x AS (
+           SELECT event_id,
+                  '<ValueMetadata><Version>3.02</Version><DataType>' ||
+                  CASE WHEN value >= 100 THEN 'PosFloat' ELSE 'Enum' END ||
+                  '</DataType><Oktousevalues>' ||
+                  CASE WHEN event_type IN ('purchase','signup') THEN 'Y' ELSE 'N' END ||
+                  '</Oktousevalues><Nval>' || CAST(user_id AS VARCHAR) ||
+                  '</Nval></ValueMetadata>' AS xml
+           FROM events)
+         SELECT event_id,
+                regexp_extract(xml, '<DataType>([^<]*)</DataType>', 1) AS data_type,
+                regexp_extract(xml, '<Oktousevalues>([^<]*)</Oktousevalues>', 1) AS ok_values,
+                CAST(regexp_extract(xml, '<Nval>([^<]*)</Nval>', 1) AS BIGINT) AS nval
+         FROM x""",
     "q_fk_chain" ->
       """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
                 count(*) AS n_lines
@@ -675,6 +739,18 @@ object SparkEntry {
          SELECT anc_path, count(*) AS descendants
          FROM ancestors JOIN prefixes USING (anc_path)
          GROUP BY anc_path""",
+    "q_hier_rollup" ->
+      """WITH leaves AS (
+           SELECT r_name, n_name, s_acctbal
+           FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey),
+         anc AS (
+           SELECT r_name AS anc_path, s_acctbal FROM leaves
+           UNION ALL
+           SELECT r_name || '/' || n_name AS anc_path, s_acctbal FROM leaves)
+         SELECT anc_path, count(*) AS n_desc, round(sum(s_acctbal), 2) AS sum_bal
+         FROM anc GROUP BY anc_path""",
     "q_code_decode" ->
       """SELECT coalesce(s_name, '@') AS supp_name, count(*) AS n_lines,
                 round(sum(l_quantity), 2) AS sum_qty

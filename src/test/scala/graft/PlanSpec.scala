@@ -107,6 +107,17 @@ class PlanSpec extends SparkSpec {
       s"materialized-prefix join must be an equi-join:\n$p")
   }
 
+  test("hierarchical rollup is one explode + one aggregate — no nested loop, no per-level scans") {
+    val p = executedPlan(SparkEntry.queries("q_hier_rollup")(spark, sf))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"rollup must never nested-loop:\n$p")
+    // every hierarchy level rolls up in ONE aggregate pass over the exploded
+    // prefixes (a per-level implementation would show one agg per level)
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs <= 2, s"expected one partial+final aggregate pair, got $aggs:\n$p")
+    assert(p.contains("Generate explode") || p.contains("Generate"), s"no explode:\n$p")
+  }
+
   test("whole-stage codegen covers the hot scan+filter+project pipeline") {
     val df = SparkEntry.queries("q_valtype_encode")(spark, sf)
     val p = executedPlan(df)
