@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Engine-portable hashing. Every similarity signature in this engine derives
@@ -69,6 +69,23 @@ object SimOps {
         p
       case _ => df.localCheckpoint()
     }
+
+  /** Metrics from an [[Observation]] that rode a materialization action, or
+    * None if the runtime withheld them (whether localCheckpoint resolves
+    * observations is runtime-path-dependent); callers then pay ONE cheap scan
+    * of the already-materialized frame instead — never a recomputation, never
+    * an extra shuffle beyond the 1-row final aggregate. */
+  private def observedMetrics(obs: Observation, keys: String*): Option[Seq[Long]] = {
+    try {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(2, java.util.concurrent.TimeUnit.SECONDS))
+      Some(keys.map(k => row.getAs[Any](k) match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case o => o.toString.toLong
+      }).toSeq)
+    } catch { case _: java.util.concurrent.TimeoutException => None }
+  }
 
   /** Universal-hash modulus 2^31−1 (all arithmetic stays far below 2^63, so the
     * identical expressions are overflow-safe in both engines). */
@@ -347,11 +364,19 @@ object SimOps {
       val viaNbr = edges
         .join(labels.select(col("_id").as("_b"), col("_lbl").as("_nl")), "_b")
         .groupBy("_a").agg(min("_nl").as("_nl"))
+      // the per-round convergence signal rides the MATERIALIZATION action via
+      // observe() — no extra job per round; observedOrScan falls back to one
+      // cheap scan of the checkpointed frame if the runtime withheld metrics
+      val obs = Observation()
       val step = materialize(labels
         .join(viaNbr.withColumnRenamed("_a", "_id"), Seq("_id"), "left")
         .select(col("_id"), col("_lbl"),
-          least(col("_lbl"), coalesce(col("_nl"), col("_lbl"))).as("_new")))
-      changed = step.filter(col("_new") < col("_lbl")).count()
+          least(col("_lbl"), coalesce(col("_nl"), col("_lbl"))).as("_new"))
+        .observe(obs, coalesce(sum(when(col("_new") < col("_lbl"), 1L)
+          .otherwise(0L)), lit(0L)).as("changed")))
+      changed = observedMetrics(obs, "changed").map(_.head).getOrElse(
+        step.agg(coalesce(sum(when(col("_new") < col("_lbl"), 1L)
+          .otherwise(0L)), lit(0L))).head().getLong(0))
       labels = step.select(col("_id"), col("_new").as("_lbl"))
       iter += 1
     }
@@ -406,12 +431,31 @@ object SimOps {
       nbr.unionByName(self)
     }
     var edges = materialize(sym(pairs.select(a.as("_u"), b.as("_v"))))
+    // order-insensitive set fingerprint: XOR of per-edge hashes (edges are
+    // DISTINCT by construction, so no cancellation) — overflow-free under
+    // ANSI mode, unlike a 64-bit sum
+    def chkAgg(e: DataFrame) =
+      e.agg(count(lit(1)).as("cnt"),
+        coalesce(bit_xor(xxhash64(col("_u"), col("_v"))), lit(0L)).as("chk"))
+    var (cnt, chk) = { val r = chkAgg(edges).head(); (r.getLong(0), r.getLong(1)) }
     var converged = false
     var iter = 0
     while (!converged && iter < 64) { // 64 rounds ≈ 2^64-node chains: unreachable
-      val next = materialize(sym(smallStar(sym(largeStar(edges)))))
-      // fixpoint when the (symmetric, distinct) edge set is unchanged
-      converged = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      val obs = Observation()
+      val next = materialize(sym(smallStar(sym(largeStar(edges))))
+        .observe(obs, count(lit(1)).as("cnt"),
+          coalesce(bit_xor(xxhash64(col("_u"), col("_v"))), lit(0L)).as("chk")))
+      val Seq(nCnt, nChk) = observedMetrics(obs, "cnt", "chk").getOrElse {
+        val r = chkAgg(next).head(); Seq(r.getLong(0), r.getLong(1))
+      }
+      // CHEAP SHORT-CIRCUIT: an (order-insensitive count, xxhash64-XOR)
+      // mismatch proves the edge set changed, so the non-final rounds skip
+      // the two exceptAll set-diff scans they used to pay; on a match
+      // (possible only at/near the fixpoint) exceptAll CONFIRMS exactly —
+      // convergence never rests on the 64-bit checksum alone
+      converged = nCnt == cnt && nChk == chk &&
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      cnt = nCnt; chk = nChk
       edges = next
       iter += 1
     }

@@ -188,6 +188,40 @@ class FunctionsSpec extends SparkSpec {
     assert(viaStar === viaFallback)
   }
 
+  test("components fixpoint checks are cheap: convergence signals ride the per-round action") {
+    import spark.implicits._
+    // count SQL EXECUTIONS (actions) during a propagate-loop run — raw job
+    // counts are AQE-noisy (one action fans into a job per shuffle stage).
+    // The changed-count rides the materialization action via observe(), so
+    // each round must cost ONE action (the localCheckpoint), not two
+    // (checkpoint + count)
+    val execs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet(); ()
+          case _ => ()
+        }
+    }
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("left_id", "right_id")
+    // warm up once (codegen, shuffles) so the counted run is steady-state
+    SimOps.connectedComponents(pairs, "left_id", "right_id").collect()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SimOps.connectedComponents(pairs, "left_id", "right_id").collect()
+      // listener events are delivered asynchronously; give the bus a beat
+      Thread.sleep(500)
+      // this graph converges in 2 propagate rounds + 1 no-change round: with
+      // the per-round count() this cost 9 actions (2 setup checkpoints +
+      // 3 × (checkpoint + count) + collect); with the observe()-folded
+      // signal it is 6 — allow 7 for one stray fallback scan
+      val n = execs.get()
+      assert(n <= 7, s"propagate loop spent $n actions — the changed-count " +
+        "signal is paying extra actions per round again")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("incremental exact dedup flags batch docs whose fingerprint is already ingested") {
     // the q_dedup_incr shape with a corpus that HAS a cross-boundary dup
     // (the driver corpus has none at gate SF — the true-positive path lives here)
