@@ -38,9 +38,12 @@ object Bench {
 
   /** One replay: the first epoch is an untimed warmup (SparkSession boot + codegen
     * compile are one-time costs, not part of SUSTAINED merge-apply throughput);
-    * the remaining epochs are timed. Returns sustained events/sec. */
+    * the remaining epochs are timed. Returns (sustained events/sec, per-epoch
+    * events/sec) — the per-epoch rates make a mid-replay stall (GC phase, host
+    * contention burst) visible post-hoc in the JSON instead of silently folding
+    * into the sustained number. */
   private def cdcReplay(cpus: Int, srcEpochs: Seq[String], tableDir: String,
-                        eventsPerEpoch: Long, buckets: Int): Double = {
+                        eventsPerEpoch: Long, buckets: Int): (Double, Seq[Double]) = {
     require(srcEpochs.size >= 2, "need >=2 epochs: 1 warmup + >=1 timed")
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -56,8 +59,14 @@ object Bench {
       }
       apply(srcEpochs.head, 0) // warmup
       val t0 = System.nanoTime()
-      srcEpochs.tail.zipWithIndex.foreach { case (dir, i) => apply(dir, i + 1) }
-      (srcEpochs.size - 1) * eventsPerEpoch / ((System.nanoTime() - t0) / 1e9)
+      val perEpochRates = srcEpochs.tail.zipWithIndex.map { case (dir, i) =>
+        val e0 = System.nanoTime()
+        apply(dir, i + 1)
+        eventsPerEpoch / ((System.nanoTime() - e0) / 1e9)
+      }
+      val sustained =
+        (srcEpochs.size - 1) * eventsPerEpoch / ((System.nanoTime() - t0) / 1e9)
+      (sustained, perEpochRates)
     } finally spark.stop()
   }
 
@@ -65,7 +74,7 @@ object Bench {
     * a `<key>=<double>` line from its stdout. Pinning: local[n] / thread counts
     * bound only worker threads — GC/JIT/IO threads would otherwise freeload on
     * all 32 cores, flattering the small-N measurement. */
-  private def forkBench(pinCpus0: Int, args: Seq[String], key: String): Double = {
+  private def forkBenchOut(pinCpus0: Int, args: Seq[String]): String = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -88,10 +97,16 @@ object Bench {
       .redirectError(ProcessBuilder.Redirect.INHERIT).start()
     val out = new String(p.getInputStream.readAllBytes())
     p.waitFor()
+    out
+  }
+
+  private def parseKey(out: String, key: String): Double =
     out.linesIterator.collectFirst { case l if l.startsWith(s"$key=") =>
       l.stripPrefix(s"$key=").toDouble
     }.getOrElse(throw new IllegalStateException(s"no $key in forked output: $out"))
-  }
+
+  private def forkBench(pinCpus0: Int, args: Seq[String], key: String): Double =
+    parseKey(forkBenchOut(pinCpus0, args), key)
 
   /** Run one replay measurement in a FRESH JVM (heap/GC/JIT state from earlier
     * measurements otherwise bleeds into later ones — observed as ±20% rate noise).
@@ -99,10 +114,17 @@ object Bench {
     * own machine, not a thread stealing executor cores.
     * Falls back to in-process if forking fails. */
   private def cdcReplayForked(cpus: Int, srcEpochs: Seq[String], tableDir: String,
-                              eventsPerEpoch: Long, buckets: Int): Double = {
-    try forkBench(cpus + 1, Seq("replay", cpus.toString, srcEpochs.mkString(","),
-      tableDir, eventsPerEpoch.toString, buckets.toString), "RATE")
-    catch {
+                              eventsPerEpoch: Long, buckets: Int): (Double, Seq[Double]) = {
+    try {
+      val out = forkBenchOut(cpus + 1, Seq("replay", cpus.toString,
+        srcEpochs.mkString(","), tableDir, eventsPerEpoch.toString, buckets.toString))
+      val epochRates = out.linesIterator
+        .collectFirst { case l if l.startsWith("EPOCHRATES=") =>
+          l.stripPrefix("EPOCHRATES=").split(",").filter(_.nonEmpty)
+            .map(_.toDouble).toSeq }
+        .getOrElse(Seq.empty)
+      (parseKey(out, "RATE"), epochRates)
+    } catch {
       case e: Throwable =>
         System.err.println(s"[bench] fork failed (${e.getMessage}); running in-process")
         cdcReplay(cpus, srcEpochs, tableDir, eventsPerEpoch, buckets)
@@ -142,34 +164,105 @@ object Bench {
     threads * itersPerThread / sec
   }
 
-  /** Forked calibration burn pinned to exactly `threads` CPUs → iters/sec. */
-  private def burnForked(threads: Int, itersPerThread: Long): Double =
-    try forkBench(threads, Seq("burn", threads.toString, itersPerThread.toString),
-      "BURNRATE")
+  /** Memory-traffic calibration probe (the CPU burn's complement — round-4
+    * data showed the engine's 4-core rates swinging 4.8× under perfectly flat
+    * CPU calibrations, i.e. the contention that actually hits a shuffle-heavy
+    * replay is memory-bandwidth/scheduler traffic the register-only xorshift
+    * cannot see). A STREAM-triad-style kernel: each thread owns three private
+    * 32 MiB double arrays (96 MiB/thread working set ≫ any LLC share, so every
+    * pass is DRAM traffic, ~24 bytes moved per element-op) and sweeps
+    * `a(i) = b(i) + s·c(i)` until `itersPerThread` element-ops are done.
+    * Returns element-ops/sec across threads. The N→4N ratio of two such runs
+    * measures what the box's MEMORY SYSTEM gives parallel work at this moment;
+    * saturated bandwidth or a noisy co-tenant shows up here exactly as it hits
+    * the engine (same fork + same taskset pin). Allocation, page-faulting and
+    * JIT warmup happen per-thread BEFORE a barrier; only the steady-state
+    * sweep is timed. */
+  private def memBurn(threads: Int, itersPerThread: Long): Double = {
+    val len = 4 * 1024 * 1024 // 32 MiB per array
+    def kernel(a: Array[Double], b: Array[Double], c: Array[Double],
+               iters: Long): Double = {
+      var done = 0L
+      var s = 1.000000001
+      while (done < iters) {
+        var i = 0
+        val n = a.length
+        while (i < n) { a(i) = b(i) + s * c(i); i += 1 }
+        done += n
+        s = -s // flip the scalar so no pass is a pure rewrite of the last
+      }
+      a(0) + a(len / 2)
+    }
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val ready = new java.util.concurrent.CyclicBarrier(threads + 1)
+    val done = new java.util.concurrent.CyclicBarrier(threads + 1)
+    val ts = (1 to threads).map { _ =>
+      new Thread(() => {
+        val a = new Array[Double](len)
+        val b = new Array[Double](len)
+        val c = new Array[Double](len)
+        java.util.Arrays.fill(b, 1.5); java.util.Arrays.fill(c, 2.5)
+        kernel(a, b, c, len.toLong) // warmup: JIT-compile + fault every page in
+        ready.await()
+        sink.addAndGet(java.lang.Double.doubleToLongBits(
+          kernel(a, b, c, itersPerThread)))
+        done.await(); ()
+      })
+    }
+    ts.foreach(_.start())
+    ready.await()
+    val t0 = System.nanoTime()
+    done.await()
+    val sec = (System.nanoTime() - t0) / 1e9
+    ts.foreach(_.join())
+    System.err.println(s"[bench] memburn sink=${sink.get()}") // defeat DCE
+    threads * itersPerThread / sec
+  }
+
+  /** Forked calibration burn (`kind` = "burn" cpu / "memburn" memory) pinned to
+    * exactly `threads` CPUs → iters/sec. */
+  private def calBurnForked(kind: String, threads: Int, itersPerThread: Long): Double =
+    try forkBench(threads, Seq(kind, threads.toString, itersPerThread.toString),
+      if (kind == "memburn") "MEMRATE" else "BURNRATE")
     catch {
       case e: Throwable =>
-        System.err.println(s"[bench] burn fork failed (${e.getMessage}); in-process")
-        burn(threads, itersPerThread)
+        System.err.println(s"[bench] $kind fork failed (${e.getMessage}); in-process")
+        if (kind == "memburn") memBurn(threads, itersPerThread)
+        else burn(threads, itersPerThread)
     }
 
-  /** One calibration pair: box-scaling ratio rate(4N)/(4·rate(N)) for the pure
-    * burn at this instant. ~1.0 on a healthy idle host; < 0.8 means the box
-    * itself cannot scale N→4N right now (throttle / background load). */
-  private def calibrationRatio(nThreads: Int, iters: Long): Double = {
-    val rN = burnForked(nThreads, iters)
-    val r4N = burnForked(4 * nThreads, iters)
-    r4N / (4.0 * rN)
+  /** A two-arm box-health snapshot at this instant: N→4N scaling ratios
+    * rate(4N)/(4·rate(N)) for the pure-CPU burn and the memory-traffic burn.
+    * ~1.0 on a healthy idle host; either arm < 0.8 means the box cannot give
+    * N→4N scaling in that resource right now (throttle / background load /
+    * bandwidth contention) — and no engine can scale better than the silicon
+    * under it, whichever resource binds. */
+  private case class CalSnapshot(cpu: Double, mem: Double) {
+    def box: Double = math.min(cpu, mem)
+  }
+  private def calibrationSnapshot(nThreads: Int, cpuIters: Long,
+                                  memIters: Long): CalSnapshot = {
+    val cN = calBurnForked("burn", nThreads, cpuIters)
+    val c4N = calBurnForked("burn", 4 * nThreads, cpuIters)
+    val mN = calBurnForked("memburn", nThreads, memIters)
+    val m4N = calBurnForked("memburn", 4 * nThreads, memIters)
+    CalSnapshot(c4N / (4.0 * cN), m4N / (4.0 * mN))
   }
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 1 && args(0) == "replay") {
-      val rate = cdcReplay(args(1).toInt, args(2).split(",").toSeq, args(3),
-        args(4).toLong, args(5).toInt) // args(4) = events per epoch
+      val (rate, epochRates) = cdcReplay(args(1).toInt, args(2).split(",").toSeq,
+        args(3), args(4).toLong, args(5).toInt) // args(4) = events per epoch
+      println(s"EPOCHRATES=${epochRates.map(_.round).mkString(",")}")
       println(s"RATE=$rate")
       return
     }
     if (args.length >= 1 && args(0) == "burn") {
       println(s"BURNRATE=${burn(args(1).toInt, args(2).toLong)}")
+      return
+    }
+    if (args.length >= 1 && args(0) == "memburn") {
+      println(s"MEMRATE=${memBurn(args(1).toInt, args(2).toLong)}")
       return
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -245,10 +338,12 @@ object Bench {
     // ENGINE's scaling, not the box's. 8→32 is additionally reported against the
     // measured hardware ceiling (BASELINE.md).
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "5").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "7").toInt
     val calIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAL_ITERS",
       (2L * 1000 * 1000 * 1000).toString).toLong // ~2 s single-thread
-    def once(cpus: Int, tag: String): Double = {
+    val memCalIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_MEMCAL_ITERS",
+      (800L * 1000 * 1000).toString).toLong // ~2 s single-thread triad
+    def once(cpus: Int, tag: String): (Double, Seq[Double]) = {
       val dir = s"$work/$tag"
       val r = cdcReplayForked(cpus, epochDirs, dir, perEpoch, buckets)
       deleteRecursively(java.nio.file.Paths.get(dir)) // keep tmpfs small
@@ -266,38 +361,48 @@ object Bench {
     // from the SAME pair that produced the median, so the three numbers are
     // mutually consistent.
     //
-    // SELF-VALIDATION (round 4): each engine pair is bracketed by CALIBRATION
-    // pairs — the pure-JVM burn above at N and 4N threads, same fork + pin —
-    // whose ratio measures what the BOX gives ideal parallel work at that
-    // moment. Three rounds of builder (0.82-0.89) vs driver (1.01/0.74/0.44)
+    // SELF-VALIDATION (round 4, extended round 5): each engine pair is
+    // bracketed by CALIBRATION snapshots — the pure-JVM CPU burn AND the
+    // memory-traffic triad at N and 4N threads, same fork + pin — whose ratios
+    // measure what the BOX gives ideal parallel work at that moment, per
+    // resource. Three rounds of builder (0.82-0.89) vs driver (1.01/0.74/0.44)
     // divergence on identical code motivated carrying the control arm in the
-    // JSON itself: a pair whose surrounding calibration shows the box scaling
-    // < 0.8 is DROPPED (logged + reported) because no engine can scale better
-    // than the silicon under it; the normalized efficiency (engine ratio ÷ box
-    // ratio, capped at 1) is reported alongside the raw one for the retained
-    // pairs.
-    case class PairMeas(n: Double, n4: Double, calBefore: Double, calAfter: Double) {
+    // JSON itself; round 4 then showed engine 4-core rates swinging 4.8× under
+    // FLAT CPU calibrations — the register-only burn is blind to the
+    // memory-bandwidth/scheduler contention that actually hits a shuffle-heavy
+    // replay, hence the second arm. A pair whose surrounding snapshots show
+    // the box scaling < 0.8 in EITHER resource is DROPPED (logged + reported)
+    // because no engine can scale better than the silicon under it; the
+    // normalized efficiency (engine ratio ÷ min(cpuBox, memBox), capped at 1)
+    // is reported alongside the raw one for the retained pairs.
+    case class PairMeas(n: Double, n4: Double, nEpochRates: Seq[Double],
+                        n4EpochRates: Seq[Double],
+                        calBefore: CalSnapshot, calAfter: CalSnapshot) {
       def ratio: Double = n4 / (4.0 * n)
       // the box's ratio over the window that contained the engine pair:
-      // the WORSE bracket is the honest bound (the bad phase may have hit
-      // mid-pair)
-      def boxRatio: Double = math.min(calBefore, calAfter)
+      // the WORSE bracket (across both resources) is the honest bound (the
+      // bad phase may have hit mid-pair)
+      def boxRatio: Double = math.min(calBefore.box, calAfter.box)
       def normalized: Double = math.min(1.0, ratio / math.min(boxRatio, 1.0))
     }
-    var calCarry = calibrationRatio(nCores, calIters)
+    var calCarry = calibrationSnapshot(nCores, calIters, memCalIters)
     val meas = (1 to repeats).map { i =>
       val before = calCarry
-      val (n, n4) = if (i % 2 == 1) {
-        val n = once(nCores, s"tn$i"); val n4 = once(4 * nCores, s"t4n$i")
-        (n, n4)
+      val ((n, nEp), (n4, n4Ep)) = if (i % 2 == 1) {
+        val a = once(nCores, s"tn$i"); val b = once(4 * nCores, s"t4n$i")
+        (a, b)
       } else {
-        val n4 = once(4 * nCores, s"t4n$i"); val n = once(nCores, s"tn$i")
-        (n, n4)
+        val b = once(4 * nCores, s"t4n$i"); val a = once(nCores, s"tn$i")
+        (a, b)
       }
-      calCarry = calibrationRatio(nCores, calIters) // after(i) == before(i+1)
-      val m = PairMeas(n, n4, before, calCarry)
-      System.err.println(f"[bench] pair $i: engine ${m.ratio}%.3f box " +
-        f"[${m.calBefore}%.3f,${m.calAfter}%.3f] normalized ${m.normalized}%.3f")
+      calCarry = calibrationSnapshot(nCores, calIters, memCalIters) // after(i) == before(i+1)
+      val m = PairMeas(n, n4, nEp, n4Ep, before, calCarry)
+      System.err.println(f"[bench] pair $i: engine ${m.ratio}%.3f box cpu " +
+        f"[${m.calBefore.cpu}%.3f,${m.calAfter.cpu}%.3f] mem " +
+        f"[${m.calBefore.mem}%.3f,${m.calAfter.mem}%.3f] " +
+        f"normalized ${m.normalized}%.3f " +
+        s"epochs n=[${nEp.map(_.round).mkString(",")}] " +
+        s"4n=[${n4Ep.map(_.round).mkString(",")}]")
       m
     }
     val healthy = meas.filter(_.boxRatio >= 0.8)
@@ -316,7 +421,8 @@ object Bench {
     val effNorm = medianBy(kept, _.normalized).normalized
     System.err.println(f"[bench] paired ratios: ${meas.map(m => f"${m.ratio}%.3f").mkString(", ")} " +
       f"-> median(kept) $eff%.3f normalized $effNorm%.3f (best ${meas.map(_.ratio).max}%.3f)")
-    val rate32 = cdcReplayForked(32, epochDirs, s"$work/t32", perEpoch, buckets)
+    val (rate32, rate32Epochs) =
+      cdcReplayForked(32, epochDirs, s"$work/t32", perEpoch, buckets)
     deleteRecursively(java.nio.file.Paths.get(work))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -326,15 +432,27 @@ object Bench {
     val pairsJson = meas.map { m =>
       s"""[${m.n.round},${m.n4.round}]""" }.mkString("[", ",", "]")
     val calJson = meas.map { m =>
-      f"""[${m.calBefore}%.3f,${m.calAfter}%.3f]""" }.mkString("[", ",", "]")
+      f"""[${m.calBefore.cpu}%.3f,${m.calAfter.cpu}%.3f]""" }.mkString("[", ",", "]")
+    val calMemJson = meas.map { m =>
+      f"""[${m.calBefore.mem}%.3f,${m.calAfter.mem}%.3f]""" }.mkString("[", ",", "]")
+    // per-epoch sustained rates inside each measurement ([N-side, 4N-side] per
+    // pair): a mid-replay stall (GC phase, contention burst) shows up as one
+    // epoch's rate collapsing while its siblings stay flat
+    def ratesJson(rs: Seq[Double]) = rs.map(_.round).mkString("[", ",", "]")
+    val epochRatesJson = meas.map { m =>
+      s"[${ratesJson(m.nEpochRates)},${ratesJson(m.n4EpochRates)}]"
+    }.mkString("[", ",", "]")
     val cdc = f"""{"events":$timedEvents,"cores_n":$nCores,"cores_4n":${4 * nCores},""" +
       f""""events_per_sec_n":${rateN.round},"events_per_sec_4n":${rate4N.round},""" +
       f""""scaling_efficiency":$eff%.3f,""" +
       f""""scaling_efficiency_normalized":$effNorm%.3f,""" +
       f""""scaling_efficiency_best":${meas.map(_.ratio).max}%.3f,""" +
       f""""pairs":$pairsJson,"calibration_pairs":$calJson,""" +
+      f""""calibration_pairs_mem":$calMemJson,""" +
+      f""""pairs_epoch_rates":$epochRatesJson,""" +
       f""""pairs_dropped_unhealthy_box":$dropped,""" +
-      f""""events_per_sec_32":${rate32.round}}"""
+      f""""events_per_sec_32":${rate32.round},""" +
+      f""""epoch_rates_32":${ratesJson(rate32Epochs)}}"""
     println(s"""{"metric":"total","value":$totalSec,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdc}""")
   }
 }
