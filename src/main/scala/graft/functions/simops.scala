@@ -467,14 +467,26 @@ object SimOps {
 
   // ── incremental near-dup (batch vs persisted index) ───────────────────────
 
-  /** The three relational tables a persistable near-dup index consists of:
-    * `bands` (id, band, bucket), `shingles` (id, _s — distinct 64-bit shingle
-    * hashes), `sizes` (id, _sz — distinct-shingle count). Together they let a
-    * NEW microbatch find its near-dups against an already-ingested corpus
-    * WITHOUT re-shingling it — the missing piece between the corpus-at-rest
-    * dedup family and this engine's incremental CDC ingest. */
+  /** Bucket-hash partition count for the bands layout: `_p = pmod(xxhash64
+    * (bucket), 16)` rides every bands row so the persisted table can be
+    * DIRECTORY-PARTITIONED by `_p` and a small probe prunes its scan to the
+    * partitions its own buckets hash into. 16 keeps per-epoch file counts
+    * bounded while still pruning ~tenfold for single-document probes. */
+  val neardupBandPartitions = 16
+  private def bandPartCol: Column =
+    pmod(xxhash64(col("bucket")), lit(neardupBandPartitions.toLong)).cast("int")
+
+  /** The four relational tables a persistable near-dup index consists of:
+    * `bands` (id, band, bucket, _p — see [[neardupBandPartitions]]), `shingles`
+    * (id, _s — distinct 64-bit shingle hashes), `sizes` (id, _sz —
+    * distinct-shingle count), and `counts` (band, bucket, _n — per-bucket
+    * membership counts, STORED at write time so the query-path bucket cap
+    * never re-aggregates the bands table). Together they let a NEW microbatch
+    * find its near-dups against an already-ingested corpus WITHOUT re-shingling
+    * it — the missing piece between the corpus-at-rest dedup family and this
+    * engine's incremental CDC ingest. */
   final case class NeardupIndexTables(bands: DataFrame, shingles: DataFrame,
-                                      sizes: DataFrame)
+                                      sizes: DataFrame, counts: DataFrame)
 
   /** Derive the index tables for a document set (one shingle pass). */
   def neardupIndexTables(docs: DataFrame, idCol: String, textCol: String,
@@ -482,11 +494,12 @@ object SimOps {
                          rowsPerBand: Int = 4): NeardupIndexTables = {
     val rows = materialize(shingleRows(docs, idCol, textCol, shingleN))
     val bb = bandBuckets(minhashSignaturesFromRows(rows, idCol, k),
-      idCol, bands, rowsPerBand)
+      idCol, bands, rowsPerBand).withColumn("_p", bandPartCol)
     val dist = rows.dropDuplicates(idCol, "_sh")
       .select(col(idCol), xxhash64(col("_sh")).as("_s"))
     val sizes = dist.groupBy(idCol).agg(count(lit(1)).as("_sz"))
-    NeardupIndexTables(bb, dist, sizes)
+    val counts = bb.groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
+    NeardupIndexTables(bb, dist, sizes, counts)
   }
 
   /** Near-dup pairs of a NEW batch against an EXISTING index: the batch's band
@@ -495,29 +508,64 @@ object SimOps {
     * the two shingle-hash tables. Returns (new_id, old_id, jaccard) for every
     * candidate sharing ≥1 shingle. The batch should additionally self-dedup
     * via [[neardupPairs]]; ids on the two sides are assumed DISJOINT (an id
-    * present in both would pair with itself at jaccard 1). */
+    * present in both would pair with itself at jaccard 1).
+    *
+    * SCALE CONTRACT — batch ≪ index; nothing on the query path is
+    * proportional to the index size except one pruned, shuffle-free columnar
+    * scan of the slim bands table:
+    *  1. the bucket cap reads the STORED `counts` table (its one aggregation
+    *     runs over per-epoch partial counts — rows ∝ buckets touched, never
+    *     docs × bands) and only over-cap buckets survive to a broadcast
+    *     anti-join, so the round-4 full-bands `groupBy` is gone;
+    *  2. the index bands scan is pruned to the `_p` bucket-hash partitions the
+    *     batch's own buckets occupy (a driver-side distinct over the SMALL
+    *     batch — at 16 partitions a single-doc probe reads ~1/16 of a
+    *     partitioned index layout) and then streams through two
+    *     BROADCAST joins (over-cap anti, batch-bands inner) — the index side
+    *     never shuffles;
+    *  3. the shingle verify first narrows `idx.shingles` by a broadcast
+    *     semi-join on candidate old_ids (map-side; no index shuffle), so only
+    *     candidates' shingles reach the join that computes intersections. */
   def incrementalPairsAgainst(idx: NeardupIndexTables, batch: DataFrame,
                               idCol: String, textCol: String,
                               shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                               rowsPerBand: Int = 4,
                               maxBucket: Int = 200): DataFrame = {
     val b = neardupIndexTables(batch, idCol, textCol, shingleN, k, bands, rowsPerBand)
-    val idxBands = materialize(idx.bands)
-    val bucketSizes = idxBands.groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
-    val bounded = idxBands.join(
-      bucketSizes.filter(col("_n") <= maxBucket).drop("_n"), Seq("band", "bucket"))
-    val pairs = b.bands.select(col(idCol).as("new_id"), col("band"), col("bucket"))
-      .join(bounded.select(col(idCol).as("old_id"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .select("new_id", "old_id").distinct()
+    val bBands = materialize(
+      b.bands.select(col(idCol).as("new_id"), col("band"), col("bucket"), col("_p")))
+    // over-cap buckets only (small by construction: buckets holding > maxBucket
+    // members); global membership = sum of the stored per-epoch partials
+    val overCap = idx.counts.groupBy("band", "bucket")
+      .agg(sum(col("_n")).as("_n")).filter(col("_n") > maxBucket)
+      .select("band", "bucket")
+    // prune the index scan to the batch's own bucket-hash partitions: equal
+    // buckets imply equal _p, so the filter loses nothing, and on the
+    // _p-partitioned lake layout it becomes static partition pruning
+    val batchParts = bBands.select("_p").distinct().collect().map(_.getInt(0)).toSeq
+    val idxBands0 =
+      if (idx.bands.columns.contains("_p"))
+        idx.bands.filter(col("_p").isin(batchParts: _*))
+      else idx.bands
+    val bounded = idxBands0.select(col(idCol).as("old_id"), col("band"), col("bucket"))
+      .join(broadcast(overCap), Seq("band", "bucket"), "left_anti")
+    val pairs = materialize(bounded
+      .join(broadcast(bBands.select("new_id", "band", "bucket")), Seq("band", "bucket"))
+      .select("new_id", "old_id").distinct())
+    val oldIds = pairs.select("old_id").distinct()
+    // narrow the index shingles to candidates map-side before intersecting
+    val candShingles = idx.shingles.select(col(idCol).as("old_id"), col("_s"))
+      .join(broadcast(oldIds), Seq("old_id"), "left_semi")
+      .select(col("old_id").as("_oid"), col("_s").as("_s2"))
     val common = pairs
       .join(b.shingles.select(col(idCol).as("new_id"), col("_s")), "new_id")
-      .join(idx.shingles.select(col(idCol).as("_oid"), col("_s").as("_s2")),
-        col("old_id") === col("_oid") && col("_s") === col("_s2"))
+      .join(candShingles, col("old_id") === col("_oid") && col("_s") === col("_s2"))
       .groupBy("new_id", "old_id").agg(count(lit(1)).as("_common"))
+    val candSizes = idx.sizes.select(col(idCol).as("old_id"), col("_sz").as("_szb"))
+      .join(broadcast(oldIds), Seq("old_id"), "left_semi")
     common
       .join(b.sizes.select(col(idCol).as("new_id"), col("_sz").as("_sza")), "new_id")
-      .join(idx.sizes.select(col(idCol).as("old_id"), col("_sz").as("_szb")), "old_id")
+      .join(candSizes, "old_id")
       .select(col("new_id"), col("old_id"),
         (col("_common").cast("double") /
           greatest(col("_sza") + col("_szb") - col("_common"), lit(1)).cast("double"))

@@ -60,14 +60,17 @@ import graft.sources.{LakeIO, NioLakeIO}
   * Hadoop FileSystem for object stores) — same abstraction as the lake
   * manifests.
   *
-  * Scale notes: `bands/` is partitioned by `band` within each epoch so the
-  * candidate join prunes; at 100 TB the natural upgrade is bucketing `bands/`
-  * by `bucket` (co-located join, no shuffle of the index side) — the layout
-  * decision is isolated here. The one remaining O(index-bands) stage per
-  * query is the bucket-size cap aggregation in
-  * [[SimOps.incrementalPairsAgainst]], which is oracle-contractual (maxBucket
-  * counts GLOBAL bucket membership) and runs over the slim (id, band, bucket)
-  * table, never the shingles.
+  * Scale notes (round 5 layout): `bands/` is partitioned by `_p` — the
+  * bucket-hash range `pmod(xxhash64(bucket), 16)` — within each epoch and
+  * each compacted generation, so a batch probe statically prunes its index
+  * scan to the partitions its own buckets occupy; and per-bucket membership
+  * counts are a fourth sibling table (`counts/`, maintained at append and
+  * SUMMED at compaction), so the query-path bucket cap reads stored partials
+  * (rows ∝ buckets touched) instead of re-aggregating the full bands table.
+  * With [[SimOps.incrementalPairsAgainst]]'s broadcast-join shape the index
+  * side never shuffles at query time; the only per-query term that grows with
+  * the index is the pruned columnar scan of the slim (id, band, bucket)
+  * partitions themselves.
   */
 object NeardupIndex {
 
@@ -75,7 +78,7 @@ object NeardupIndex {
                           shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                           rowsPerBand: Int = 4, maxBucket: Int = 200)
 
-  private val tableNames = Seq("bands", "shingles", "sizes")
+  private val tableNames = Seq("bands", "shingles", "sizes", "counts")
 
   private final case class Ledger(gen: Long, compactedThrough: Long)
   private val emptyLedger = Ledger(-1L, -1L)
@@ -136,9 +139,10 @@ object NeardupIndex {
       (liveEpochs(io, dir) :+ led.compactedThrough :+ -1L).max + 1)
     val t = SimOps.neardupIndexTables(docs, cfg.idCol, cfg.textCol,
       cfg.shingleN, cfg.k, cfg.bands, cfg.rowsPerBand)
-    t.bands.write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands/e=$e")
+    t.bands.write.mode("overwrite").partitionBy("_p").parquet(s"$dir/bands/e=$e")
     t.shingles.write.mode("overwrite").parquet(s"$dir/shingles/e=$e")
     t.sizes.write.mode("overwrite").parquet(s"$dir/sizes/e=$e")
+    t.counts.write.mode("overwrite").parquet(s"$dir/counts/e=$e")
     refresh(docs.sparkSession, dir)
   }
 
@@ -166,7 +170,10 @@ object NeardupIndex {
       (live.toSeq ++ comp.toSeq).reduceOption(_.unionByName(_)).getOrElse(
         throw new IllegalStateException(s"near-dup index $dir is empty ($name)"))
     }
-    SimOps.NeardupIndexTables(table("bands"), table("shingles"), table("sizes"))
+    // counts carries PER-EPOCH partials; the query path sums them (rows ∝
+    // buckets touched, never docs × bands — compaction folds them exactly)
+    SimOps.NeardupIndexTables(table("bands"), table("shingles"), table("sizes"),
+      table("counts"))
   }
 
   /** Near-dup pairs (new_id, old_id, jaccard) of `batch` against the persisted
@@ -195,7 +202,7 @@ object NeardupIndex {
     if (foldable.isEmpty) { gc(io, dir, led); refresh(spark, dir) } // just re-GC
     else {
       val newGen = led.gen + 1
-      def merged(name: String): DataFrame = {
+      def mergedRaw(name: String): DataFrame = {
         val fold = if (foldable.nonEmpty)
           Some(spark.read.parquet(s"$dir/$name")
             .filter(col("e").isin(foldable: _*)).drop("e"))
@@ -203,16 +210,22 @@ object NeardupIndex {
         val prev = if (led.gen >= 0)
           Some(spark.read.parquet(s"$dir/compacted/g=${led.gen}/$name"))
         else None
-        // distinct is belt-and-braces (epochs are id-disjoint by contract);
-        // it runs HERE, offline at compaction, not per batch query
-        (fold.toSeq ++ prev.toSeq).reduce(_.unionByName(_)).distinct()
+        (fold.toSeq ++ prev.toSeq).reduce(_.unionByName(_))
       }
+      // distinct is belt-and-braces (epochs are id-disjoint by contract);
+      // it runs HERE, offline at compaction, not per batch query
+      def merged(name: String): DataFrame = mergedRaw(name).distinct()
       val out = s"$dir/compacted/g=$newGen"
-      // one file per band / one file per table: bounding counts is the point
-      merged("bands").repartition(1, col("band")).write.mode("overwrite")
-        .partitionBy("band").parquet(s"$out/bands")
+      // one file per partition / one file per table: bounding counts is the point
+      merged("bands").repartition(1, col("_p")).write.mode("overwrite")
+        .partitionBy("_p").parquet(s"$out/bands")
       merged("shingles").coalesce(1).write.mode("overwrite").parquet(s"$out/shingles")
       merged("sizes").coalesce(1).write.mode("overwrite").parquet(s"$out/sizes")
+      // counts fold by SUM (per-epoch partials), not distinct — this offline
+      // aggregation is what keeps the per-batch query path aggregation-light
+      mergedRaw("counts").groupBy("band", "bucket")
+        .agg(sum(col("_n")).as("_n"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/counts")
       val committed = Ledger(newGen,
         (foldable :+ led.compactedThrough).max)
       writeLedger(io, dir, committed) // the commit point (atomic rename)
