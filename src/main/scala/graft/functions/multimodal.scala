@@ -11,13 +11,16 @@ import org.apache.spark.sql.types._
   *
   * The Spark side — schemas, partition-parallel batch processing, column
   * contracts — is real and tested. The codec layer is split:
-  *  - PNG, JPEG, BMP, and GIF images, RIFF/WAVE audio, and MP4/ISO-BMFF video
-  *    are decoded FOR REAL by [[parsePng]] / [[parseJpeg]] / [[parseBmp]] /
-  *    [[parseGif]] / [[parseWav]] / [[parseMp4]] (pure-JVM header parsing, no
-  *    external libraries);
+  *  - PNG, JPEG, BMP, and GIF images, RIFF/WAVE audio, MP4/ISO-BMFF video,
+  *    and EBML (MKV/WebM) video are decoded FOR REAL by [[parsePng]] /
+  *    [[parseJpeg]] / [[parseBmp]] / [[parseGif]] / [[parseWav]] /
+  *    [[parseMp4]] / [[parseEbml]] (pure-JVM header parsing, no external
+  *    libraries);
   *  - image payloads the JDK's own `javax.imageio` can fully decode get REAL
   *    pixel-derived features ([[imageFeatures]]: channel means + luma
-  *    histogram over a bounded subsample grid);
+  *    histogram over a bounded subsample grid); PCM WAV payloads get REAL
+  *    sample-derived features and durations ([[wavContent]]: RMS/peak/ZCR
+  *    over the data chunk);
   *  - everything else falls back to [[decodeStub]], a deterministic fake
   *    (this container ships no ffmpeg; swap the stub for a JNI/library call in
   *    production — the per-partition init point is already in place).
@@ -35,7 +38,8 @@ object Multimodal {
     StructField("n_frames", IntegerType),
     StructField("sample_rate", IntegerType),
     StructField("channels", IntegerType),
-    StructField("feature", ArrayType(FloatType))))
+    StructField("feature", ArrayType(FloatType)),
+    StructField("duration_ms", LongType)))
 
   private def le32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
@@ -172,6 +176,167 @@ object Multimodal {
     hits.nextOption()
   }
 
+  /** Real EBML (Matroska / WebM) header decode — a pure-JVM walk of the EBML
+    * element tree. Elements are `[id:VINT][size:VINT][payload]`; IDs keep
+    * their length-marker bits, sizes strip them, and an all-ones size means
+    * "extends to the end of the enclosing element" (common for streamed
+    * `Segment`s). The walk requires the EBML magic (0x1A45DFA3) up front so
+    * random binaries never misparse, then reads `Segment → Tracks →
+    * TrackEntry → Video → PixelWidth/PixelHeight` for dimensions and
+    * `Segment → Info → TimestampScale (default 1,000,000 ns) + Duration
+    * (float ticks)` for the duration. Returns (width, height, durationMs —
+    * None when the Info element carries no Duration) or None if not EBML /
+    * no video track. */
+  def parseEbml(bytes: Array[Byte]): Option[(Int, Int, Option[Long])] = {
+    if (bytes.length < 8 || (bytes(0) & 0xFF) != 0x1A || (bytes(1) & 0xFF) != 0x45 ||
+        (bytes(2) & 0xFF) != 0xDF || (bytes(3) & 0xFF) != 0xA3) return None
+    // VINT at `off`: (value, bytesConsumed); keepMarker retains the length
+    // bits (element IDs compare against their marker-full canonical form)
+    def vint(off: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (off >= bytes.length) return None
+      val b0 = bytes(off) & 0xFF
+      if (b0 == 0) return None
+      var len = 1
+      var mask = 0x80
+      while ((b0 & mask) == 0) { mask >>= 1; len += 1 }
+      if (off + len > bytes.length || len > 8) return None
+      var v = if (keepMarker) b0.toLong else (b0 & (mask - 1)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (bytes(off + i) & 0xFF); i += 1 }
+      Some((v, len))
+    }
+    // all-ones size payload = unknown length
+    def isUnknown(size: Long, lenBytes: Int): Boolean =
+      size == (1L << (7 * lenBytes)) - 1
+    // child elements of [start, end) as (id, payloadStart, payloadEnd)
+    def elementsIn(start: Int, end: Int): List[(Long, Int, Int)] = {
+      val out = List.newBuilder[(Long, Int, Int)]
+      var i = start
+      var ok = true
+      while (ok && i < end) {
+        (for { (id, idLen) <- vint(i, keepMarker = true)
+               (sz, szLen) <- vint(i + idLen, keepMarker = false) } yield {
+          val p0 = i + idLen + szLen
+          val p1 = if (isUnknown(sz, szLen)) end.toLong else p0 + sz
+          (id, p0, p1)
+        }) match {
+          case Some((id, p0, p1)) if p1 <= end && p0 <= p1 =>
+            out += ((id, p0, p1.toInt)); i = p1.toInt
+          case _ => ok = false
+        }
+      }
+      out.result()
+    }
+    def uint(p0: Int, p1: Int): Long = {
+      var v = 0L
+      var i = p0
+      while (i < p1 && i - p0 < 8) { v = (v << 8) | (bytes(i) & 0xFF); i += 1 }
+      v
+    }
+    def ebmlFloat(p0: Int, p1: Int): Option[Double] = (p1 - p0) match {
+      case 4 => Some(java.lang.Float.intBitsToFloat(be32(bytes, p0)).toDouble)
+      case 8 => Some(java.lang.Double.longBitsToDouble(be64(bytes, p0)))
+      case _ => None
+    }
+    def find(els: List[(Long, Int, Int)], id: Long) = els.find(_._1 == id)
+    val top = elementsIn(0, bytes.length)
+    for {
+      seg <- find(top, 0x18538067L) // Segment
+      segEls = elementsIn(seg._2, seg._3)
+      tracks <- find(segEls, 0x1654AE6BL) // Tracks
+      video <- elementsIn(tracks._2, tracks._3).iterator
+        .filter(_._1 == 0xAEL) // TrackEntry
+        .flatMap(te => find(elementsIn(te._2, te._3), 0xE0L)) // Video
+        .nextOption()
+      vEls = elementsIn(video._2, video._3)
+      wEl <- find(vEls, 0xB0L) // PixelWidth
+      hEl <- find(vEls, 0xBAL) // PixelHeight
+      w = uint(wEl._2, wEl._3).toInt
+      h = uint(hEl._2, hEl._3).toInt
+      if w > 0 && h > 0
+    } yield {
+      val durationMs = for {
+        info <- find(segEls, 0x1549A966L) // Info
+        infoEls = elementsIn(info._2, info._3)
+        durEl <- find(infoEls, 0x4489L) // Duration, in ticks
+        ticks <- ebmlFloat(durEl._2, durEl._3)
+        scaleNs = find(infoEls, 0x2AD7B1L) // TimestampScale, ns/tick
+          .map(e => uint(e._2, e._3)).getOrElse(1000000L)
+      } yield (ticks * scaleNs / 1e6).round
+      (w, h, durationMs)
+    }
+  }
+
+  /** Real WAV PCM content features — past the header down to the samples.
+    * Walks the RIFF chunk list ('fmt ' for format, 'data' for samples; odd
+    * chunk sizes pad a byte), requires integer PCM (format 1) at 8 or 16 bits,
+    * normalizes samples to [-1, 1], and computes over the (possibly truncated)
+    * data chunk: (samplesPerChannel, durationMs, 8-float feature =
+    * [rms, meanAbs, peak, dcOffset, zeroCrossRate(ch 0), durationSec,
+    * log10(1+samplesPerChannel), channels]). Returns None for non-PCM,
+    * other bit depths, or a missing data chunk. */
+  def wavContent(bytes: Array[Byte]): Option[(Long, Long, Array[Float])] = {
+    if (parseWav(bytes).isEmpty) return None
+    // chunk walk: (4cc, payloadStart, payloadEnd clamped to the buffer)
+    var fmtO: Option[Int] = None
+    var dataO: Option[(Int, Int)] = None
+    var i = 12
+    while (i + 8 <= bytes.length && (fmtO.isEmpty || dataO.isEmpty)) {
+      val cc = new String(bytes, i, 4, "ISO-8859-1")
+      val sz = le32(bytes, i + 4)
+      if (sz < 0) return None
+      val p0 = i + 8
+      val p1 = math.min(p0.toLong + sz, bytes.length.toLong).toInt
+      if (cc == "fmt " && fmtO.isEmpty && sz >= 16) fmtO = Some(p0)
+      if (cc == "data" && dataO.isEmpty) dataO = Some((p0, p1))
+      i = p0 + sz + (sz & 1) // chunks are word-aligned
+    }
+    for {
+      fmt <- fmtO
+      (d0, d1) <- dataO
+      format = le16(bytes, fmt)
+      channels = le16(bytes, fmt + 2)
+      rate = le32(bytes, fmt + 4)
+      bits = le16(bytes, fmt + 14)
+      if format == 1 && channels > 0 && rate > 0 && (bits == 8 || bits == 16)
+      bytesPerSample = bits / 8
+      frameBytes = channels * bytesPerSample
+      nFrames = (d1 - d0).toLong / frameBytes
+      if nFrames > 0
+    } yield {
+      var sumSq = 0.0; var sumAbs = 0.0; var sum = 0.0; var peak = 0.0
+      var zc = 0L; var prevSign = 0
+      var f = 0L
+      while (f < nFrames) {
+        val base = d0 + (f * frameBytes).toInt
+        var c = 0
+        while (c < channels) {
+          val v =
+            if (bits == 16) le16(bytes, base + c * 2).toShort / 32768.0
+            else ((bytes(base + c) & 0xFF) - 128) / 128.0
+          sumSq += v * v; sumAbs += math.abs(v); sum += v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (c == 0) { // zero-cross rate on channel 0 only
+            val s = if (v > 0) 1 else if (v < 0) -1 else 0
+            if (s != 0 && prevSign != 0 && s != prevSign) zc += 1
+            if (s != 0) prevSign = s
+          }
+          c += 1
+        }
+        f += 1
+      }
+      val n = nFrames * channels
+      val durationMs = nFrames * 1000L / rate
+      val feat = Array(
+        math.sqrt(sumSq / n).toFloat, (sumAbs / n).toFloat, peak.toFloat,
+        (sum / n).toFloat,
+        (zc.toDouble / math.max(nFrames - 1, 1)).toFloat,
+        (nFrames.toDouble / rate).toFloat,
+        math.log10(1.0 + nFrames).toFloat, channels.toFloat)
+      (nFrames, durationMs, feat)
+    }
+  }
+
   /** REAL pixel-derived image features via the JDK's own decoder
     * (`javax.imageio` — pure JVM, ships with the JRE, no external libs):
     * decode the payload, then an 8-float summary over a ≤64×64 subsample grid
@@ -211,10 +376,11 @@ object Multimodal {
       }
     } catch { case _: Throwable => None }
 
-  /** STUB decoder — deterministic pseudo-decode for formats without a real
-    * parser above (now only non-MP4 video containers, e.g. MKV/WebM) and for
-    * image payloads whose pixel stream the JDK cannot decode. Replace with a
-    * real codec (ffmpeg) in production. */
+  /** STUB decoder — deterministic pseudo-decode for truly-unknown containers
+    * (all of PNG/JPEG/BMP/GIF images, RIFF/WAVE audio, MP4 and MKV/WebM video
+    * now parse for real) and for image/audio payloads whose content stream the
+    * JDK cannot decode (the feature vector falls back while header dims stay
+    * real). Replace with a real codec (ffmpeg) in production. */
   private[functions] def decodeStub(bytes: Array[Byte], mediaType: String)
       : (Int, Int, Int, Array[Float]) = {
     def h(seed: Long): Long = {
@@ -253,11 +419,20 @@ object Multimodal {
           // real pixels when the JDK can decode the stream; stub otherwise
           def feat = (if (image.isDefined) imageFeatures(bytes) else None)
             .getOrElse(fakeFeat).toSeq
-          val media = (image, parseWav(bytes), parseMp4(bytes)) match {
-            case (Some((iw, ih)), _, _) => Row(mt, iw, ih, 1, null, null, feat)
-            case (_, Some((rate, ch)), _) => Row(mt, null, null, 1, rate, ch, feat)
-            case (_, _, Some((vw, vh, nf))) => Row(mt, vw, vh, nf, null, null, feat)
-            case _ => Row(mt, w, h, f, null, null, feat)
+          val media = (image, parseWav(bytes), parseMp4(bytes), parseEbml(bytes)) match {
+            case (Some((iw, ih)), _, _, _) => Row(mt, iw, ih, 1, null, null, feat, null)
+            case (_, Some((rate, ch)), _, _) =>
+              // real PCM content features + duration when decodable
+              val wc = wavContent(bytes)
+              Row(mt, null, null, 1, rate, ch,
+                wc.map(_._3.toSeq).getOrElse(fakeFeat.toSeq),
+                wc.map(c => java.lang.Long.valueOf(c._2)).orNull)
+            case (_, _, Some((vw, vh, nf)), _) =>
+              Row(mt, vw, vh, nf, null, null, feat, null)
+            case (_, _, _, Some((ew, eh, durMs))) =>
+              Row(mt, ew, eh, 1, null, null, fakeFeat.toSeq,
+                durMs.map(java.lang.Long.valueOf).orNull)
+            case _ => Row(mt, w, h, f, null, null, feat, null)
           }
           Row(r.getLong(0), media)
         }

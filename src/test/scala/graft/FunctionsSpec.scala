@@ -629,6 +629,105 @@ class FunctionsSpec extends SparkSpec {
     assert(out(1).getInt(1) === 320 && out(1).getInt(2) === 200)
   }
 
+  test("multimodal: real EBML (MKV/WebM) headers decode to dimensions and duration") {
+    // hand-built EBML element trees — [id raw bytes][size VINT][payload]
+    def el(id: Array[Int], payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127)
+      id.map(_.toByte) ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    def uintEl(id: Array[Int], v: Long, len: Int): Array[Byte] =
+      el(id, (0 until len).map(i => ((v >> (8 * (len - 1 - i))) & 0xFF).toByte).toArray)
+    val ebmlHead = el(Array(0x1A, 0x45, 0xDF, 0xA3),
+      el(Array(0x42, 0x82), "webm".getBytes)) // DocType
+    def video(w: Int, h: Int) = el(Array(0xE0),
+      uintEl(Array(0xB0), w, 2) ++ uintEl(Array(0xBA), h, 2))
+    def trackEntry(w: Int, h: Int) = el(Array(0xAE), video(w, h))
+    val audioTrack = el(Array(0xAE), Array.empty[Byte]) // no Video child: skipped
+    def tracks(body: Array[Byte]) = el(Array(0x16, 0x54, 0xAE, 0x6B), body)
+    // Duration = 120000.0 ticks (float32), TimestampScale 1,000,000 ns → 120 s
+    val durBits = java.lang.Float.floatToIntBits(120000.0f)
+    val info = el(Array(0x15, 0x49, 0xA9, 0x66),
+      uintEl(Array(0x2A, 0xD7, 0xB1), 1000000L, 3) ++
+        el(Array(0x44, 0x89),
+          (0 until 4).map(i => ((durBits >> (8 * (3 - i))) & 0xFF).toByte).toArray))
+    val segBody = info ++ tracks(audioTrack ++ trackEntry(1920, 1080))
+    val seg = el(Array(0x18, 0x53, 0x80, 0x67), segBody)
+    val mkv = ebmlHead ++ seg
+    assert(Multimodal.parseEbml(mkv) === Some((1920, 1080, Some(120000L))))
+    // unknown-size Segment (streamed matroska): size VINT 0xFF = all value
+    // bits set → element runs to the end of the buffer
+    val segUnknown = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte) ++
+      Array(0xFF.toByte) ++ segBody
+    assert(Multimodal.parseEbml(ebmlHead ++ segUnknown) ===
+      Some((1920, 1080, Some(120000L))))
+    // no Info → dims still parse, duration absent
+    val noInfo = ebmlHead ++ el(Array(0x18, 0x53, 0x80, 0x67),
+      tracks(trackEntry(640, 360)))
+    assert(Multimodal.parseEbml(noInfo) === Some((640, 360, None)))
+    // non-EBML bytes, truncation, and audio-only files never misparse
+    assert(Multimodal.parseEbml("GIF89a-not-ebml".getBytes) === None)
+    assert(Multimodal.parseEbml(mkv.take(9)) === None)
+    assert(Multimodal.parseEbml(ebmlHead ++
+      el(Array(0x18, 0x53, 0x80, 0x67), tracks(audioTrack))) === None)
+    // and through the operator: real dims + duration land in the media struct
+    val out = Multimodal.decodeAndFeaturize(
+      Seq((1L, mkv, "video")).toDF("id", "payload", "media_type"),
+      "id", "payload", "media_type")
+      .select(col("media.width"), col("media.height"), col("media.duration_ms"))
+      .collect()(0)
+    assert(out.getInt(0) === 1920 && out.getInt(1) === 1080 && out.getLong(2) === 120000L)
+  }
+
+  test("multimodal: WAV PCM content yields real sample-derived features and duration") {
+    // a full RIFF/WAVE file: fmt chunk + a PCM16 data chunk we control exactly
+    def wavPcm16(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        data(2 * i) = (s & 0xFF).toByte; data(2 * i + 1) = ((s >> 8) & 0xFF).toByte }
+      val fmt = new Array[Byte](16)
+      fmt(0) = 1 // PCM
+      fmt(2) = (channels & 0xFF).toByte
+      for (i <- 0 until 4) fmt(4 + i) = ((rate >> (8 * i)) & 0xFF).toByte
+      fmt(14) = 16 // bits per sample
+      def chunk(cc: String, payload: Array[Byte]) =
+        cc.getBytes ++ (0 until 4).map(i =>
+          ((payload.length >> (8 * i)) & 0xFF).toByte).toArray ++ payload
+      val body = "WAVE".getBytes ++ chunk("fmt ", fmt) ++ chunk("data", data)
+      chunk("RIFF", body)
+    }
+    // full-scale square wave at 8 kHz mono: rms=peak=meanAbs=1, dc=0, and the
+    // sign flips every sample → zero-cross rate 1
+    val sq = Array.tabulate(8000)(i =>
+      if (i % 2 == 0) (-32768).toShort else 32767.toShort)
+    val bytes = wavPcm16(8000, 1, sq)
+    val (nFrames, durMs, feat) = Multimodal.wavContent(bytes).get
+    assert(nFrames === 8000L && durMs === 1000L)
+    assert(math.abs(feat(0) - 1.0f) < 1e-3 && math.abs(feat(1) - 1.0f) < 1e-3)
+    assert(feat(2) === 1.0f && math.abs(feat(3)) < 1e-4) // peak, dc≈0
+    assert(math.abs(feat(4) - 1.0f) < 1e-3)              // zcr
+    assert(feat(5) === 1.0f && feat(7) === 1.0f)         // durationSec, channels
+    // stereo silence: zero rms/peak/zcr, correct frame count and channels
+    val silent = Multimodal.wavContent(
+      wavPcm16(16000, 2, new Array[Short](16000 * 2))).get
+    assert(silent._1 === 16000L && silent._2 === 1000L)
+    assert(silent._3(0) === 0.0f && silent._3(2) === 0.0f && silent._3(4) === 0.0f)
+    assert(silent._3(7) === 2.0f)
+    // header-only fixtures (no data chunk) refuse content but keep header typing
+    val headerOnly = new Array[Byte](28)
+    "RIFF".getBytes.copyToArray(headerOnly, 0)
+    "WAVE".getBytes.copyToArray(headerOnly, 8)
+    "fmt ".getBytes.copyToArray(headerOnly, 12)
+    assert(Multimodal.wavContent(headerOnly) === None)
+    // through the operator: real features + duration_ms ride the struct
+    val out = Multimodal.decodeAndFeaturize(
+      Seq((1L, bytes, "audio")).toDF("id", "payload", "media_type"),
+      "id", "payload", "media_type")
+      .select(col("media.sample_rate"), col("media.duration_ms"),
+        col("media.feature")).collect()(0)
+    assert(out.getInt(0) === 8000 && out.getLong(1) === 1000L)
+    assert(out.getSeq[Float](2) === feat.toSeq)
+  }
+
   test("multimodal: decode/featurize plumbing is deterministic and partition-safe") {
     val media = Seq(
       (1L, "fake-jpeg-bytes-aaaa".getBytes, "image"),

@@ -216,6 +216,7 @@ class PropertySpec extends SparkSpec {
     def mustNotThrow(b: Array[Byte]): Unit = {
       Multimodal.parseMp4(b); Multimodal.parseGif(b); Multimodal.parsePng(b)
       Multimodal.parseJpeg(b); Multimodal.parseBmp(b); Multimodal.parseWav(b)
+      Multimodal.parseEbml(b); Multimodal.wavContent(b)
       ()
     }
     (1 to 300).foreach { _ =>               // pure noise of random lengths
