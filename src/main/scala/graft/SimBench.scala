@@ -61,9 +61,11 @@ object SimBench {
     * `NeardupIndex.batchPairs` for the SAME fixed 200-doc batch against each.
     * Prints `IDX n=<indexed docs> wall=<s> pairs=<rows>`. The round-3 shape
     * paid a full-index distinct() + size groupBy per batch (cost ∝ index);
-    * the epoch-ledgered shape reads stored tables — residual growth is the
-    * band-bucket scan + the oracle-contractual bucket-size cap aggregation
-    * over the slim bands table, not a shuffle of the corpus.
+    * round 4's epoch ledger made the load a pure scan; round 5 stores
+    * per-bucket counts and turns every index-touching join broadcast-side, so
+    * the residual growth is a `_p`-pruned columnar scan of the slim bands
+    * partitions plus work ∝ emitted pairs (measured: 100× index → 2.6× wall
+    * with 100× the pairs).
     * Usage: run_graft.sh graft.SimBench index [repeats] [factor,...] */
   private def indexMain(args: Array[String]): Unit = {
     import graft.operators.NeardupIndex

@@ -33,6 +33,35 @@ object Dedup {
         :+ col("n_events") :+ col("_lsn_min"): _*)
   }
 
+  /** Two-phase LWW with FIXED-WIDTH aggregation buffers (round-5 experiment,
+    * VERDICT r04 #8): `max(struct(lsn, payload…))` carries the string payload
+    * through the aggregation buffer, which pushes Spark off HashAggregate
+    * (non-primitive buffers → ObjectHashAggregate/SortAggregate). This variant
+    * aggregates `max(lsn)` per key first (primitive buffer, map-side combine,
+    * whole-stage codegen), then joins the winning (key, maxLsn) back to the
+    * raw events to fetch the payload; a final tiny max(struct) over the ~1-row
+    * -per-key survivors resolves duplicate-LSN redelivery ties exactly like
+    * [[lww]]. Trade-off being measured: the join re-shuffles the FULL payload
+    * stream on the keys (no map-side combine of duplicates), but every
+    * aggregate on the hot path is hash-based. Output is column-identical to
+    * [[lww]]. Select per-session via `spark.graft.dedup.strategy=twophase`
+    * (see CdcMerge); the winner of the measured comparison rides BASELINE.md. */
+  def lwwTwoPhase(df: DataFrame, keyCols: Seq[String] = Seq("conv_id", "turn_idx"),
+                  lsnCol: String = "lsn"): DataFrame = {
+    val valueCols = df.columns.filterNot(keyCols.contains).toSeq
+    val ordered = struct((lsnCol +: valueCols.filterNot(_ == lsnCol)).map(col): _*)
+    val winners = df.groupBy(keyCols.map(col): _*)
+      .agg(max(col(lsnCol)).as("_maxlsn"), count(lit(1)).as("n_events"),
+        min(col(lsnCol)).as("_lsn_min"))
+    df.join(winners, keyCols)
+      .filter(col(lsnCol) === col("_maxlsn"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(ordered).as("_w"), max("n_events").as("n_events"),
+        min("_lsn_min").as("_lsn_min")) // constant within the group either way
+      .select(keyCols.map(col) ++ valueCols.map(c => col(s"_w.$c").as(c))
+        :+ col("n_events") :+ col("_lsn_min"): _*)
+  }
+
   /** Explicitly salted two-phase LWW (north rule: "salts hot conv_id keys before the
     * key-partitioned shuffle"). Phase 1 aggregates on (key, salt) — a hot key's
     * events spread over `saltBuckets` reducers — phase 2 reduces the ≤saltBuckets

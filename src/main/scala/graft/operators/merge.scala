@@ -194,9 +194,15 @@ object CdcMerge {
           share
       }
     }
-    val deduped =
-      if (hotShare >= saltThreshold) Dedup.lwwSalted(good, Schemas.keyCols, "lsn", saltBuckets)
-      else Dedup.lww(good, Schemas.keyCols, "lsn")
+    // spark.graft.dedup.strategy=twophase selects the fixed-width-buffer
+    // experiment (Dedup.lwwTwoPhase scaladoc); default is the struct form,
+    // with salting when the sampled hot-key share crosses the threshold
+    val deduped = batch.sparkSession.conf.getOption("spark.graft.dedup.strategy") match {
+      case Some("twophase") => Dedup.lwwTwoPhase(good, Schemas.keyCols, "lsn")
+      case _ =>
+        if (hotShare >= saltThreshold) Dedup.lwwSalted(good, Schemas.keyCols, "lsn", saltBuckets)
+        else Dedup.lww(good, Schemas.keyCols, "lsn")
+    }
     val changes = deduped
       .withColumn("_gbucket", LakeTable.bucketCol(col("conv_id"), snap.numBuckets))
       .persist(StorageLevel.MEMORY_AND_DISK)

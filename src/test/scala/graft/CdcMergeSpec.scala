@@ -136,10 +136,22 @@ class CdcMergeSpec extends SparkSpec {
     assert(r.applied)
     assert(t.snapshot.summary("graft.salted") === "true")
     assert(Oracle.diff(CdcMerge.state(t), Oracle.expectedState(ev)).isEmpty)
-    // salted and unsalted dedup agree row-for-row
-    val a = Dedup.lww(ev).orderBy("conv_id", "turn_idx").collect().toSeq
-    val b = Dedup.lwwSalted(ev).orderBy("conv_id", "turn_idx").collect().toSeq
+    // salted, unsalted, and two-phase dedup agree row-for-row (incl. the
+    // duplicate-lsn redelivery tie-break: union the batch with itself)
+    val evDup = ev.unionByName(ev.limit(500))
+    val a = Dedup.lww(evDup).orderBy("conv_id", "turn_idx").collect().toSeq
+    val b = Dedup.lwwSalted(evDup).orderBy("conv_id", "turn_idx").collect().toSeq
+    val c = Dedup.lwwTwoPhase(evDup).orderBy("conv_id", "turn_idx").collect().toSeq
     assert(a === b)
+    assert(a === c) // incl. n_events: both count every raw pre-tie row
+
+    // and end-to-end: a merge under the twophase strategy yields the same state
+    spark.conf.set("spark.graft.dedup.strategy", "twophase")
+    try {
+      val t2 = freshTable("hot2p")
+      assert(CdcMerge.applyBatch(t2, ev, 0L, "q").applied)
+      assert(Oracle.diff(CdcMerge.state(t2), Oracle.expectedState(ev)).isEmpty)
+    } finally spark.conf.unset("spark.graft.dedup.strategy")
   }
 
   test("lineage: per-bucket LSN ranges, applied rows, deletes and conflicts are emitted") {
