@@ -46,14 +46,22 @@ object Dedup {
     * aggregate on the hot path is hash-based. Output is column-identical to
     * [[lww]]. Select per-session via `spark.graft.dedup.strategy=twophase`
     * (see CdcMerge); the winner of the measured comparison rides BASELINE.md. */
+  /** `joinSide`: a metrics-free TWIN of `df` for the join-back branch. The
+    * two-phase plan scans the input twice (aggregate + join); if `df` carries
+    * an `observe()`, the duplicated CollectMetrics node would double-count its
+    * metrics (the Observation-resolution bug class caught in round 4). Pass
+    * the same data WITHOUT the observation; the aggregate branch — which scans
+    * every row exactly once — keeps the observed frame so the metrics resolve
+    * with this plan's action. */
   def lwwTwoPhase(df: DataFrame, keyCols: Seq[String] = Seq("conv_id", "turn_idx"),
-                  lsnCol: String = "lsn"): DataFrame = {
+                  lsnCol: String = "lsn",
+                  joinSide: Option[DataFrame] = None): DataFrame = {
     val valueCols = df.columns.filterNot(keyCols.contains).toSeq
     val ordered = struct((lsnCol +: valueCols.filterNot(_ == lsnCol)).map(col): _*)
     val winners = df.groupBy(keyCols.map(col): _*)
       .agg(max(col(lsnCol)).as("_maxlsn"), count(lit(1)).as("n_events"),
         min(col(lsnCol)).as("_lsn_min"))
-    df.join(winners, keyCols)
+    joinSide.getOrElse(df).join(winners, keyCols)
       .filter(col(lsnCol) === col("_maxlsn"))
       .groupBy(keyCols.map(col): _*)
       .agg(max(ordered).as("_w"), max("n_events").as("n_events"),

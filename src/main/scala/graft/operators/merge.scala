@@ -178,30 +178,38 @@ object CdcMerge {
     //    query): skew drifts slowly, and a per-batch sampling job is pure serial
     //    overhead in the stream's critical path.
     val skewKey = s"${table.dir}|$queryId"
+    // METRICS-FREE twin of `good`: an Observation resolves with the FIRST
+    // action over its plan, and any extra action (the skew sample) — or a
+    // DUPLICATED CollectMetrics node (the two-phase dedup's self-join) —
+    // would resolve rejectObs with wrong counts (bug class caught by the
+    // malformed-json-line StreamSpec case). Everything except the one
+    // aggregate branch that legitimately scans each row once must use the
+    // twin, never the observed plan.
+    val goodNoObs = batch.filter(rejectReason(batch, knownRoles).isNull)
     val hotShare = timed("skew-sample") {
       Option(skewCache.get(skewKey)) match {
         case Some((sampledAt, share)) if epochId - sampledAt < skewSampleEvery => share
         case _ =>
-          // METRICS-FREE twin of `good`: an Observation resolves with the FIRST
-          // action over its plan, and the sampling action here would resolve
-          // rejectObs with the sample's (wrong, often zero) n_rejects — on
-          // every sampling epoch rejects then silently skipped the dead-letter
-          // write (caught by the malformed-json-line StreamSpec case). The
-          // sampler must therefore never touch the observed plan.
-          val goodNoObs = batch.filter(rejectReason(batch, knownRoles).isNull)
           val share = Skew.topKeyShare(goodNoObs, "conv_id")
           skewCache.put(skewKey, (epochId, share))
           share
       }
     }
-    // spark.graft.dedup.strategy=twophase selects the fixed-width-buffer
-    // experiment (Dedup.lwwTwoPhase scaladoc); default is the struct form,
-    // with salting when the sampled hot-key share crosses the threshold
+    // Strategy (measured, BASELINE.md round 5): the two-phase fixed-width
+    // form beat max(struct(...)) by ~24% at the 10⁸-event grounding scale
+    // (both ABBA arms), so it is the DEFAULT. A hot batch still takes the
+    // salted struct path: two-phase's join-back funnels ALL of a hot key's
+    // payload rows through one reducer, exactly the case salting exists for.
+    // spark.graft.dedup.strategy=struct|twophase forces either.
     val deduped = batch.sparkSession.conf.getOption("spark.graft.dedup.strategy") match {
-      case Some("twophase") => Dedup.lwwTwoPhase(good, Schemas.keyCols, "lsn")
-      case _ =>
+      case Some("twophase") =>
+        Dedup.lwwTwoPhase(good, Schemas.keyCols, "lsn", joinSide = Some(goodNoObs))
+      case Some("struct") =>
         if (hotShare >= saltThreshold) Dedup.lwwSalted(good, Schemas.keyCols, "lsn", saltBuckets)
         else Dedup.lww(good, Schemas.keyCols, "lsn")
+      case _ =>
+        if (hotShare >= saltThreshold) Dedup.lwwSalted(good, Schemas.keyCols, "lsn", saltBuckets)
+        else Dedup.lwwTwoPhase(good, Schemas.keyCols, "lsn", joinSide = Some(goodNoObs))
     }
     val changes = deduped
       .withColumn("_gbucket", LakeTable.bucketCol(col("conv_id"), snap.numBuckets))
