@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.Metadata
 
 import graft.functions.{PortableHash, SimOps, TextOps}
 
@@ -260,6 +261,52 @@ object SparkEntry {
         round(sum("l_extendedprice"), 2).as("sum_price"),
         round(avg("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))),
+    "q_rollup" -> ((s, d) =>
+      // §2.4 grouping sets: ROLLUP over the region/nation hierarchy —
+      // subtotals at every level plus the grand total in ONE pass (Expand +
+      // a single hash aggregate); the reference's per-level statistics loops
+      // (I2b2Statistics walking parents) collapsed into one shuffle.
+      // Expressed via the general groupingSets API: on Spark 4.1,
+      // Dataset.rollup downstream of ANY join trips DetectAmbiguousSelfJoin
+      // (the Expand's duplicated grouping attrs carry the join's
+      // __dataset_id tags; no select/alias/toDF barrier strips them), while
+      // groupingSets with the explicit rollup set list analyzes clean —
+      // same Expand + single HashAggregate plan
+      t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("r_name", "n_name", "s_acctbal")
+        .groupingSets(
+          Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+          col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum("s_acctbal"), 2).as("sum_bal"))),
+    "q_pivot" -> ((s, d) => {
+      // §2.4 wide-table pivot: per-user event-type counts as columns. The
+      // value list is EXPLICIT — an inferred pivot pays an extra distinct
+      // scan and a nondeterministic column order, both wrong at 100 TB.
+      // Absent combinations coalesce to 0 so the engine matches the
+      // oracle's FILTERed counts exactly.
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, d, "events").groupBy("user_id")
+        .pivot("event_type", types).agg(count(lit(1)))
+      p.select(col("user_id") +:
+        types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+    }),
+    "q_median" -> ((s, d) => {
+      // §2.5 exact per-group median WITHOUT interpolation arithmetic (no
+      // cross-engine bit spec for it): the element at row ⌊(n+1)/2⌋ under an
+      // EXPLICIT total order (value, event_id) — tie semantics shared
+      // verbatim with the oracle, never percentile()/quantile() built-ins
+      // whose interpolation differs between engines
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      val g = Window.partitionBy("event_type")
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(g))
+        .filter(col("rn") === floor((col("cnt") + lit(1)) / lit(2.0)).cast("long"))
+        .select(col("event_type"), col("value").as("median_value"))
+    }),
     "q_totalnum" -> ((s, d) =>
       // A2/A3 C_TOTALNUM-style per-concept totals + distinct patients
       t(s, d, "events").groupBy("event_type").agg(
@@ -773,6 +820,29 @@ object SparkEntry {
                 round(avg(l_discount), 6) AS avg_disc,
                 count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_suppliers,
+                round(sum(s_acctbal), 2) AS sum_bal
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
+    "q_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (event_type = 'click')    AS click,
+                count(*) FILTER (event_type = 'error')    AS error,
+                count(*) FILTER (event_type = 'purchase') AS purchase,
+                count(*) FILTER (event_type = 'signup')   AS signup,
+                count(*) FILTER (event_type = 'view')     AS view
+         FROM events GROUP BY user_id""",
+    "q_median" ->
+      """SELECT event_type, value AS median_value
+         FROM (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value, event_id) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS cnt
+               FROM events)
+         WHERE rn = CAST(floor((cnt + 1) / 2.0) AS BIGINT)""",
     "q_totalnum" ->
       """SELECT event_type, count(*) AS total, count(DISTINCT user_id) AS users
          FROM events GROUP BY event_type""",

@@ -118,6 +118,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode") || p.contains("Generate"), s"no explode:\n$p")
   }
 
+  test("grouping-set rollup is one Expand + one aggregate pair — not per-level scans") {
+    val p = executedPlan(SparkEntry.queries("q_rollup")(spark, sf))
+    assert(p.contains("Expand"), s"rollup must use Expand (one pass), not unions:\n$p")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs <= 2, s"expected one partial+final aggregate pair, got $aggs:\n$p")
+    // one scan of each base table: a per-grouping-set implementation re-scans
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 3, s"expected 3 base-table scans, got $scans:\n$p")
+  }
+
+  test("explicit-value pivot is a single aggregate pass with no distinct-value scan") {
+    val p = executedPlan(SparkEntry.queries("q_pivot")(spark, sf))
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"inferred pivot would double-scan for distinct values:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("exact median is one window sort, no self-join or double scan") {
+    val p = executedPlan(SparkEntry.queries("q_median")(spark, sf))
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"median must not re-scan for the count:\n$p")
+    assert(!p.contains("Join"), s"median must not self-join:\n$p")
+  }
+
   test("whole-stage codegen covers the hot scan+filter+project pipeline") {
     val df = SparkEntry.queries("q_valtype_encode")(spark, sf)
     val p = executedPlan(df)
