@@ -44,6 +44,27 @@ object SparkEntry {
         round(sum("value").over(w), 3).as("running_value"))
     }),
 
+    "q_lag_gap" -> ((s, d) => {
+      // §2.5 lag/lead: inter-event time deltas per user under an explicit
+      // total order (event_id is unique). Microsecond integers end-to-end —
+      // unix_micros here, epoch_us in the oracle — so the compare is exact
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      // ts arrives TIMESTAMP_NTZ from parquet; the cast reads it as UTC
+      // (session timezone is pinned UTC), matching epoch_us over DuckDB's
+      // naive timestamp exactly
+      val us = unix_micros(col("ts").cast("timestamp"))
+      t(s, d, "events").select(col("user_id"), col("event_id"),
+        (us - lag(us, 1).over(w)).as("gap_us"),
+        (lead(us, 1).over(w) - us).as("next_us"))
+    }),
+    "q_ntile" -> ((s, d) => {
+      // §2.5 ntile bucketing: SQL-standard quartiles (first count%n groups one
+      // larger) under an explicit (value, event_id) total order — both engines
+      // implement the same distribution, so assignment is deterministic
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      t(s, d, "events").select(col("event_id"), col("event_type"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    }),
     "q_sessionize" -> ((s, d) => {
       // session analytics over the event stream: a new session starts after a
       // >30-minute gap; windows = lag + running sum (SURVEY §2.5 family)
@@ -312,6 +333,25 @@ object SparkEntry {
       t(s, d, "events").groupBy("event_type").agg(
         count(lit(1)).as("total"),
         count_distinct(col("user_id")).as("users"))),
+    "q_distinct_sketch" -> ((s, d) => {
+      // A6/§2.4 fixed-width distributed cardinality sketch (linear-counting
+      // layout): md5-bucket each key into m=1024 slots packed as 32×32-bit
+      // words, bit_or per word, popcount-sum per group. Aggregation buffers
+      // are fixed-width longs (map-side combinable) and raw keys never reach
+      // the shuffle — the bounded-memory path where count_distinct's
+      // per-group hash set would not survive 100 TB keys. The consumer's
+      // estimate −m·ln(1−V/m) stays downstream: transcendentals have no
+      // cross-engine bit spec, so a hash-gated oracle exposes only V.
+      // Bits stay < 2^31 because DuckDB's `<<` raises on BIGINT overflow.
+      val bucket = pmod(PortableHash.md5Long(col("user_id").cast("string")), lit(1024))
+      t(s, d, "events")
+        .select(col("event_type"), bucket.as("b"))
+        .select(col("event_type"), shiftright(col("b"), 5).as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 32 AS INT))").as("v"))
+        .groupBy("event_type", "w").agg(expr("bit_or(v)").as("w_or"))
+        .groupBy("event_type")
+        .agg(sum(bit_count(col("w_or"))).cast("long").as("occupied_buckets"))
+    }),
     "q_max_date" -> ((s, d) =>
       // A4 max-date resolution per entity
       t(s, d, "orders").groupBy("o_custkey").agg(
@@ -408,6 +448,24 @@ object SparkEntry {
         .select(col("p_partkey"), upper(col("p_name")).as("uname"),
           substring(col("p_type"), 1, 5).as("t5"),
           concat(col("p_brand"), lit("#"), col("p_type")).as("tagged"))),
+    "q_blob_build" -> ((s, d) => {
+      // S5-adjacent CLOB blob builder (reference dest/table/BlobBuilder.java:34,
+      // 77-83 joins escaped value strings with '|'): per-group ordered
+      // escape+concat in relational form. collect_list order is UNDEFINED
+      // after a shuffle, so the total order is imposed by array_sort over
+      // (event_id, payload) structs — event_id is unique, so the sort is
+      // total and the blob deterministic. Escape backslash FIRST, then the
+      // delimiter, verbatim in both engines. Per-group memory is the blob
+      // itself — the same bound the reference's in-heap builder has.
+      val esc = replace(replace(col("event_type"), lit("\\"), lit("\\\\")),
+        lit("|"), lit("\\|"))
+      t(s, d, "events")
+        .select(col("user_id"), struct(col("event_id"), esc.as("p")).as("st"))
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(col("st"))), x => x.getField("p")),
+          "|").as("blob"))
+    }),
 
     // ── training-data pipeline ops over documents/embeddings ──────────────────
     "q_dedup_exact" -> ((s, d) =>
@@ -687,6 +745,34 @@ object SparkEntry {
                         THEN 1 ELSE 0 END AS brk
                FROM events)
          GROUP BY user_id""",
+    "q_lag_gap" ->
+      """SELECT user_id, event_id,
+                epoch_us(ts) - lag(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY event_id) AS gap_us,
+                lead(epoch_us(ts))
+                  OVER (PARTITION BY user_id ORDER BY event_id) - epoch_us(ts)
+                  AS next_us
+         FROM events""",
+    "q_ntile" ->
+      """SELECT event_id, event_type,
+                ntile(4) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS quartile
+         FROM events""",
+    "q_distinct_sketch" ->
+      s"""SELECT event_type, CAST(sum(bit_count(w_or)) AS BIGINT) AS occupied_buckets
+         FROM (SELECT event_type, w, bit_or(v) AS w_or
+               FROM (SELECT event_type, b >> 5 AS w,
+                            (CAST(1 AS BIGINT) << CAST(b % 32 AS INTEGER)) AS v
+                     FROM (SELECT event_type,
+                                  ${PortableHash.md5LongSql("CAST(user_id AS VARCHAR)")} % 1024 AS b
+                           FROM events))
+               GROUP BY event_type, w)
+         GROUP BY event_type""",
+    "q_blob_build" ->
+      """SELECT user_id,
+                string_agg(replace(replace(event_type, '\', '\\'), '|', '\|'),
+                           '|' ORDER BY event_id) AS blob
+         FROM events GROUP BY user_id""",
     "q_link_traversal" ->
       """SELECT a.l_orderkey, count(*) AS n_links,
                 round(sum(b.l_quantity - a.l_quantity), 2) AS qty_drift

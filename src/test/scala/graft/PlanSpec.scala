@@ -142,6 +142,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"median must not self-join:\n$p")
   }
 
+  test("distinct sketch stays fixed-width hash aggregation; raw keys never shuffle") {
+    val p = executedPlan(SparkEntry.queries("q_distinct_sketch")(spark, sf))
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"bit_or/sum buffers must stay fixed-width hash aggregates:\n$p")
+    assert(!p.contains("hashpartitioning(user_id"),
+      s"raw keys must die map-side (bucketed before the shuffle):\n$p")
+  }
+
+  test("blob build partial-aggregates map-side with one shuffle") {
+    val p = executedPlan(SparkEntry.queries("q_blob_build")(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), s"collect_list should object-hash-agg:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$p")
+  }
+
   test("whole-stage codegen covers the hot scan+filter+project pipeline") {
     val df = SparkEntry.queries("q_valtype_encode")(spark, sf)
     val p = executedPlan(df)
