@@ -468,6 +468,21 @@ object SparkEntry {
     }),
 
     // ── training-data pipeline ops over documents/embeddings ──────────────────
+    "q_redact" -> ((s, d) => {
+      // PII scrub (curation): the synthetic corpus is PII-free, so the
+      // machinery is exercised by constructing deterministic synthetic PII
+      // from doc_id IDENTICALLY in both engines, then redacting sequentially
+      // (TextOps.redactPii: email → IPv4 → phone, counts taken at the stage
+      // each pattern actually replaces at). Map-side projection, no shuffle.
+      val payload = concat(col("text"),
+        lit(" contact user"), (col("doc_id") % 1000).cast("string"),
+        lit("@mail.example.com via 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 call +1 555 01"), (col("doc_id") % 10).cast("string"), lit("2233"))
+      val (ne, ni, np) = TextOps.piiCounts(payload)
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.redactPii(payload).as("redacted"),
+        ne.as("n_email"), ni.as("n_ip"), np.as("n_phone"))
+    }),
     "q_dedup_exact" -> ((s, d) =>
       // exact dedup grouped by the md5 FINGERPRINT with a fingerprint-only
       // output (fp, keep_id, copies): the shuffle carries 32 hex chars + two
@@ -995,6 +1010,24 @@ object SparkEntry {
       """SELECT p_partkey, upper(p_name) AS uname, substr(p_type, 1, 5) AS t5,
                 p_brand || '#' || p_type AS tagged
          FROM part WHERE upper(p_name) LIKE '%A%'""",
+    "q_redact" -> {
+      val payload = "concat(text, ' contact user', CAST(doc_id%1000 AS VARCHAR), " +
+        "'@mail.example.com via 10.0.', CAST(doc_id%256 AS VARCHAR), " +
+        "'.7 call +1 555 01', CAST(doc_id%10 AS VARCHAR), '2233')"
+      s"""WITH p AS (SELECT doc_id, $payload AS s FROM documents),
+              e AS (SELECT doc_id, s,
+                           regexp_replace(s, '${TextOps.emailRe}', '<EMAIL>', 'g') AS s1
+                    FROM p),
+              i AS (SELECT doc_id, s, s1,
+                           regexp_replace(s1, '${TextOps.ipv4Re}', '<IP>', 'g') AS s2
+                    FROM e)
+         SELECT doc_id,
+                regexp_replace(s2, '${TextOps.phoneRe}', '<PHONE>', 'g') AS redacted,
+                ${TextOps.piiCountSql("s", TextOps.emailRe)} AS n_email,
+                ${TextOps.piiCountSql("s1", TextOps.ipv4Re)} AS n_ip,
+                ${TextOps.piiCountSql("s2", TextOps.phoneRe)} AS n_phone
+         FROM i"""
+    },
     "q_dedup_exact" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS copies
          FROM documents GROUP BY md5(text)""",

@@ -111,6 +111,47 @@ object TextOps {
       .when(bucket < trainPct + valPct, lit("val"))
       .otherwise(lit("test"))
 
+  // ── PII redaction (training-data curation) ────────────────────────────────
+  // Patterns live in the RE2 ∩ Java dialect and are shared VERBATIM with the
+  // oracle (the subwordDelimClass discipline): no lookaround (RE2 lacks it),
+  // no \s (Java matches U+000B, RE2 doesn't), no \d shorthand — enumerated
+  // [0-9] classes only. \b is the ASCII word boundary in both dialects.
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re: String = {
+    val oct = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    s"\\b$oct(\\.$oct){3}\\b"
+  }
+  val phoneRe: String = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** Sequential PII redaction: emails, then IPv4, then phone-style digit runs.
+    * Order matters — an address's local part can contain a digit run the phone
+    * pattern would half-eat, so each stage runs over the previous stage's
+    * output, and per-type counts (below) are taken at the same stage. Pure
+    * codegen'd column regexes: a map-side projection, no shuffle, no UDF. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
+  /** Per-stage match counts on the same inputs [[redactPii]] replaces at. */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Re, "<IP>")
+    (size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long"),
+      size(regexp_extract_all(afterEmail, lit(ipv4Re), lit(0))).cast("long"),
+      size(regexp_extract_all(afterIp, lit(phoneRe), lit(0))).cast("long"))
+  }
+
+  /** DuckDB twins built from the SAME pattern constants ('g' = replace all,
+    * Spark's default). Patterns contain no single quotes, so direct splice
+    * into a standard SQL string literal is safe (backslashes are literal). */
+  def redactPiiSql(expr: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($expr, '$emailRe', '<EMAIL>', 'g'), '$ipv4Re', '<IP>', 'g'), '$phoneRe', '<PHONE>', 'g')"
+  def piiCountSql(expr: String, re: String): String =
+    s"CAST(len(regexp_extract_all($expr, '$re')) AS BIGINT)"
+
   /** Rolling polynomial fingerprint over whitespace tokens (order-sensitive,
     * unlike a set hash). Token hashes derive from md5 ([[SimOps]] portability
     * rationale) so the DuckDB oracle reproduces the value bit-for-bit. */

@@ -74,6 +74,24 @@ class FunctionsSpec extends SparkSpec {
     assert(r.toSeq === Seq(3L, 0L, 1L))
   }
 
+  test("redactPii scrubs emails, IPv4, and phone runs in stage order") {
+    def red(s: String): String =
+      Seq(s).toDF("t").select(TextOps.redactPii(col("t"))).collect().head.getString(0)
+    assert(red("mail bob.smith+x@corp.example.org now") === "mail <EMAIL> now")
+    assert(red("host 192.168.1.100 up") === "host <IP> up")
+    assert(red("call +1 (555) 012-2233 today") === "call <PHONE> today")
+    // 999 is not an IPv4 octet: the word boundary stops a partial-octet match
+    assert(red("v 999.1.1.1 x") === "v 999.1.1.1 x")
+    // stage order: the digit run inside the email's local part belongs to the
+    // email match — phone must not half-eat it before the email stage
+    assert(red("user12345678@ex.com") === "<EMAIL>")
+    // counts are taken at the stage each pattern replaces at
+    val (ne, ni, np) = TextOps.piiCounts(col("t"))
+    val r = Seq("a@b.co and 1.2.3.4 and 555 0122 334")
+      .toDF("t").select(ne, ni, np).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 1L, 1L)))
+  }
+
   test("langId picks the language with the most marker words") {
     val r = Seq("the cat and the dog of war", "der hund und das der und")
       .toDF("text").select(TextOps.langId(col("text"))).collect().map(_.getString(0))

@@ -157,6 +157,11 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$p")
   }
 
+  test("PII redaction is a shuffle-free map-side projection") {
+    val p = executedPlan(SparkEntry.queries("q_redact")(spark, sf))
+    assert(!p.contains("Exchange"), s"redaction must not shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the hot scan+filter+project pipeline") {
     val df = SparkEntry.queries("q_valtype_encode")(spark, sf)
     val p = executedPlan(df)
