@@ -13,7 +13,7 @@ import graft.streaming.CdcStream
   *   Replay run  <srcDir> <tableDir> <ckptDir> [queryId] [numBuckets] [maxFilesPerTrigger] [neardupIndexDir] [contamBenchDir]
   *   Replay show <tableDir> [n]
   *   Replay showAt <tableDir> <version> [n]   // time travel
-  *   Replay curate <tableDir> <outDir> [minQuality] [benchGramsDir]
+  *   Replay curate <tableDir> <outDir> [minQuality] [benchGramsDir] [neardupTheta] [redact]
   *   Replay lineage <tableDir> <queryId>
   * }}}
   * Local testing uses `local[N]` via SPARK_GRAFT_CPUS; under spark-submit the
@@ -129,16 +129,18 @@ object Replay {
       // optional 4th positional: near-dup jaccard threshold → cluster-level
       // dedup (connected components) rides inside the export
       val ndTheta = rest.lift(2).filter(_.nonEmpty).map(_.toDouble)
+      // optional 5th positional: "redact" scrubs PII before every other stage
+      val redact = rest.lift(3).contains("redact")
       val t = LakeTable.load(spark, table)
       graft.operators.Curate
         .curated(t, grams.map(g => spark.read.parquet(g)), minQuality,
-          neardupThreshold = ndTheta)
+          neardupThreshold = ndTheta, redact = redact)
         .write.mode("overwrite").partitionBy("split").parquet(out)
       val counts = spark.read.parquet(out).groupBy("split").count()
         .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"curated ${out}: $counts (from ${CdcMerge.state(t).count()} resolved " +
         s"rows; minQuality=$minQuality decontam=${grams.isDefined} " +
-        s"neardup=${ndTheta.fold("off")(_.toString)})")
+        s"neardup=${ndTheta.fold("off")(_.toString)} redact=$redact)")
       spark.stop()
 
     case "compactIndex" :: idxDir :: Nil =>

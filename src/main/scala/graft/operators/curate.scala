@@ -27,12 +27,22 @@ object Curate {
     * the quality gate keeps survivors deterministic under threshold changes.
     * NULL-text rows are dropped up front: a contentless row has no quality
     * sample and no content hash to split on (it would otherwise fall through
-    * the split CASE into `test`, polluting the eval split). */
+    * the split CASE into `test`, polluting the eval split).
+    *
+    * `redact = true` scrubs PII ([[TextOps.redactPii]]) FIRST, so every
+    * downstream stage — decontam grams, near-dup shingles, quality, the
+    * content-hash split — operates on the text that is actually exported.
+    * Redacting after the split would let two rows that differ only in PII
+    * land in different splits yet export identical text (eval leakage). */
   def curated(table: LakeTable, benchGrams: Option[DataFrame] = None,
               minQuality: Double = 0.0, keyCols: Seq[String] = Seq("conv_id", "turn_idx"),
               textCol: String = "text",
-              neardupThreshold: Option[Double] = None): DataFrame = {
-    val resolved = CdcMerge.state(table).filter(col(textCol).isNotNull)
+              neardupThreshold: Option[Double] = None,
+              redact: Boolean = false): DataFrame = {
+    val resolved0 = CdcMerge.state(table).filter(col(textCol).isNotNull)
+    val resolved =
+      if (redact) resolved0.withColumn(textCol, TextOps.redactPii(col(textCol)))
+      else resolved0
     val clean = benchGrams.fold(resolved) { g =>
       // materialize the resolved state ONCE: it feeds both sides of the
       // anti-join (the contamination screen and the survivor side), and an

@@ -161,6 +161,34 @@ class MaintainSpec extends SparkSpec {
       .select("conv_id").collect().map(_.getString(0)).toSet === ndKept)
   }
 
+  test("curate redact: PII scrubbed before quality and split are computed") {
+    import spark.implicits._
+    import graft.operators.Curate
+    import graft.functions.TextOps
+    val dir = tmpDir("curate-redact")
+    val t = LakeTable.create(spark, dir, CdcMerge.physicalSchema(Schemas.transcript), 8)
+    val rich = ("the quick brown fox jumps over the lazy dog and more words " * 3).trim
+    val events = Seq(
+      ("c1", 0, "user", s"$rich mail bob@corp.example.org now", null: String,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "I", 1L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "op", "lsn")
+    CdcMerge.applyBatch(t, events, 0L, "q")
+    val r = Curate.curated(t, redact = true).collect().head
+    val red = r.getAs[String]("text")
+    assert(red.contains("<EMAIL>") && !red.contains("@corp"),
+      s"text not redacted: $red")
+    // quality and split derive from the REDACTED text (what is exported),
+    // not the original — otherwise PII-only variants leak across splits
+    val expect = spark.range(1).select(
+      TextOps.qualityScore(lit(red)).as("q"),
+      TextOps.splitName(TextOps.splitBucket(lit(red))).as("s")).collect()(0)
+    assert(r.getAs[Double]("quality") === expect.getDouble(0))
+    assert(r.getAs[String]("split") === expect.getString(1))
+    // redact=false leaves the text byte-identical
+    assert(Curate.curated(t).collect().head.getAs[String]("text")
+      .contains("bob@corp.example.org"))
+  }
+
   test("scoped deleteWhere removes only matching rows, copy-on-write") {
     val (t, ev) = loaded("scoped")
     val before = CdcMerge.state(t).count()
