@@ -14,6 +14,7 @@ import graft.streaming.CdcStream
   *   Replay show <tableDir> [n]
   *   Replay showAt <tableDir> <version> [n]   // time travel
   *   Replay curate <tableDir> <outDir> [minQuality] [benchGramsDir] [neardupTheta] [redact]
+  *   Replay changes <tableDir> <fromVersion> <toVersion> [n]   // change-data-feed read
   *   Replay lineage <tableDir> <queryId>
   * }}}
   * Local testing uses `local[N]` via SPARK_GRAFT_CPUS; under spark-submit the
@@ -147,6 +148,20 @@ object Replay {
       val spark = session()
       val (before, after) = graft.operators.NeardupIndex.compact(spark, idxDir)
       println(s"compacted near-dup index $idxDir: $before -> $after files")
+      spark.stop()
+
+    case "changes" :: table :: from :: to :: rest =>
+      // CHANGE-DATA-FEED between two committed versions (operators/changefeed.scala):
+      // one scan + one aggregate; insert/update/delete rows with old/new LSNs
+      val spark = session()
+      val t = LakeTable.load(spark, table)
+      val feed = graft.operators.ChangeFeed
+        .betweenVersions(t, from.toLong, to.toLong).persist()
+      val byKind = feed.groupBy(graft.operators.ChangeFeed.changeCol).count()
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"changes v$from -> v$to: $byKind")
+      feed.orderBy("conv_id", "turn_idx")
+        .show(rest.headOption.map(_.toInt).getOrElse(10), false)
       spark.stop()
 
     case "lineage" :: table :: queryId :: Nil =>

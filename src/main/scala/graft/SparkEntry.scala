@@ -731,7 +731,95 @@ object SparkEntry {
       // q_neardup_resolve's candidates→verify stage
       SimOps.cosineNeardupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
           planes = 8, radius = 1, maxBucket = 200)
-        .filter(col("cos") >= 0.2))
+        .filter(col("cos") >= 0.2)),
+
+    // ── round-5 batch 2: change feed, interval algebra, bloom reduction ──────
+    "q_version_diff" -> ((s, d) => {
+      // CHANGE-DATA-FEED read (operators/changefeed.scala): the insert/update
+      // rows between the LWW states at LSN watermarks 300 and 700 — computed
+      // in ONE scan + ONE hash aggregate (two conditional max(struct)s), not
+      // two resolves full-outer-joined
+      graft.operators.ChangeFeed.byWatermark(
+          t(s, d, "events"), Seq("user_id", "event_type"), "event_id",
+          Seq("value"), t1 = 300L, t2 = 700L)
+        .select(col("user_id"), col("event_type"), col("_change").as("change"),
+          col("_old_lsn").as("old_lsn"), col("_new_lsn").as("new_lsn"),
+          round(col("value"), 3).as("new_value"))
+    }),
+    "q_interval_overlap" -> ((s, d) => {
+      // INTERVAL-OVERLAP JOIN (operators/range.scala): 14-day order windows vs
+      // 21-day order windows, no equi key — binned to a hash equi-join with
+      // first-shared-bin dedup (exact multiplicity, no post-join distinct)
+      val epoch = lit("1992-01-01")
+      def days(c: Column) = datediff(c.cast("date"), epoch).cast("long")
+      val o = t(s, d, "orders")
+      val a = o.filter(col("o_orderkey") % 300 === 0)
+        .select(col("o_orderkey").as("a_key"), days(col("o_orderdate")).as("a_start"))
+        .withColumn("a_end", col("a_start") + 13)
+      val b = o.filter(col("o_orderkey") % 300 === 100)
+        .select(col("o_orderkey").as("b_key"), days(col("o_orderdate")).as("b_start"))
+        .withColumn("b_end", col("b_start") + 20)
+      graft.operators.RangeJoin.intervalOverlap(
+          a, "a_start", "a_end", b, "b_start", "b_end", binWidth = 14L)
+        .select("a_key", "b_key", "a_start", "b_start")
+    }),
+    "q_coalesce_intervals" -> ((s, d) => {
+      // gaps-and-islands: merge each order's overlapping shipment spans
+      // [ship_day, ship_day + quantity] into islands — running-max window +
+      // cumulative new-island flag, one partitioned sort, no self-join
+      val epoch = lit("1992-01-01")
+      val li = t(s, d, "lineitem")
+        .withColumn("s", datediff(col("l_shipdate"), epoch).cast("long"))
+        .select(col("l_orderkey"), col("s"),
+          (col("s") + floor(col("l_quantity"))).as("e"),
+          col("l_linenumber"))
+      val w = Window.partitionBy("l_orderkey").orderBy("s", "e", "l_linenumber")
+      li.withColumn("prev_max_e",
+          max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L).otherwise(0L))
+        .withColumn("island", sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("l_orderkey", "island")
+        .agg(min("s").as("island_start"), max("e").as("island_end"),
+          count(lit(1)).as("n_spans"))
+    }),
+    "q_bloom_semi" -> ((s, d) => {
+      // BLOOM SEMI-JOIN REDUCTION (operators/bloom.scala): fixed-width md5
+      // bitmap kills non-matching lineitem rows map-side before the exact
+      // semi-join; result row-for-row equals the plain semi-join
+      val dim = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+      graft.operators.BloomFilter.semiJoin(
+          t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+          "l_orderkey", dim, "o_orderkey", mBits = 1 << 14, k = 3)
+    }),
+    "q_transitions" -> ((s, d) => {
+      // role/event-type transition matrix over per-user event sequences (the
+      // agent-transcript "what follows what" statistic): lead + one aggregate
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, d, "events")
+        .select(col("event_type"), lead("event_type", 1).over(w).as("next_type"))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+    }),
+    "q_mode" -> ((s, d) => {
+      // §2.4 MODE per group with deterministic tie-break (max count, then
+      // lexicographic min) — count-aggregate + top-1 window, never collect
+      val counts = t(s, d, "events").groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+    }),
+    "q_histogram" -> ((s, d) =>
+      // equi-width histogram of value per event_type: the deterministic
+      // distribution sketch (floor-div bin + order-independent min/max/count;
+      // no FP accumulation order in the compare)
+      t(s, d, "events")
+        .select(col("event_type"), floor(col("value") / 50.0d).cast("long").as("bin"),
+          col("value"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), round(min("value"), 3).as("lo"),
+          round(max("value"), 3).as("hi")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1260,7 +1348,84 @@ object SparkEntry {
           FROM documents""",
     "q_ann_lsh" -> annLshOracleSql,
     "q_ann_ivf" -> annIvfOracleSql,
-    "q_embed_neardup" -> embedNeardupOracleSql
+    "q_embed_neardup" -> embedNeardupOracleSql,
+
+    // change feed: conditional-aggregate mirror of ChangeFeed.byWatermark —
+    // arg_max picks the same unique-LSN winner max(struct) does
+    "q_version_diff" ->
+      """SELECT user_id, event_type,
+                CASE WHEN old_lsn IS NULL THEN 'insert' ELSE 'update' END AS change,
+                old_lsn, new_lsn, round(new_value, 3) AS new_value
+         FROM (SELECT user_id, event_type,
+                      max(event_id) FILTER (WHERE event_id <= 300) AS old_lsn,
+                      max(event_id) FILTER (WHERE event_id <= 700) AS new_lsn,
+                      arg_max(value, event_id) FILTER (WHERE event_id <= 700) AS new_value
+               FROM events GROUP BY user_id, event_type)
+         WHERE new_lsn IS NOT NULL AND (old_lsn IS NULL OR new_lsn > old_lsn)""",
+    // interval overlap: the raw theta form the binned equi-join must equal
+    "q_interval_overlap" ->
+      """WITH a AS (SELECT o_orderkey AS a_key,
+                           date_diff('day', DATE '1992-01-01', o_orderdate) AS a_start,
+                           date_diff('day', DATE '1992-01-01', o_orderdate) + 13 AS a_end
+                    FROM orders WHERE o_orderkey % 300 = 0),
+              b AS (SELECT o_orderkey AS b_key,
+                           date_diff('day', DATE '1992-01-01', o_orderdate) AS b_start,
+                           date_diff('day', DATE '1992-01-01', o_orderdate) + 20 AS b_end
+                    FROM orders WHERE o_orderkey % 300 = 100)
+         SELECT a_key, b_key, a_start, b_start
+         FROM a JOIN b ON a.a_start <= b.b_end AND b.b_start <= a.a_end""",
+    "q_coalesce_intervals" ->
+      """WITH spans AS (SELECT l_orderkey,
+                               date_diff('day', DATE '1992-01-01', l_shipdate) AS s,
+                               date_diff('day', DATE '1992-01-01', l_shipdate)
+                                 + CAST(floor(l_quantity) AS BIGINT) AS e,
+                               l_linenumber
+                        FROM lineitem),
+              flagged AS (SELECT l_orderkey, s, e,
+                                 CASE WHEN max(e) OVER (PARTITION BY l_orderkey
+                                                        ORDER BY s, e, l_linenumber
+                                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                             AND 1 PRECEDING) IS NULL
+                                        OR s > max(e) OVER (PARTITION BY l_orderkey
+                                                            ORDER BY s, e, l_linenumber
+                                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                                 AND 1 PRECEDING)
+                                      THEN 1 ELSE 0 END AS brk,
+                                 l_linenumber
+                          FROM spans),
+              islands AS (SELECT l_orderkey, s, e,
+                                 CAST(sum(brk) OVER (PARTITION BY l_orderkey
+                                                     ORDER BY s, e, l_linenumber
+                                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                                          AND CURRENT ROW) AS BIGINT) AS island
+                          FROM flagged)
+         SELECT l_orderkey, island, min(s) AS island_start, max(e) AS island_end,
+                count(*) AS n_spans
+         FROM islands GROUP BY l_orderkey, island""",
+    // bloom is a pre-filter only: the exact semi-join result is the contract
+    "q_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_totalprice > 300000)""",
+    "q_transitions" ->
+      """SELECT event_type, next_type, count(*) AS n
+         FROM (SELECT event_type,
+                      lead(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY event_id) AS next_type
+               FROM events)
+         WHERE next_type IS NOT NULL
+         GROUP BY event_type, next_type""",
+    "q_mode" ->
+      """SELECT user_id, event_type AS mode_type, n
+         FROM (SELECT user_id, event_type, count(*) AS n,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY count(*) DESC, event_type) AS rn
+               FROM events GROUP BY user_id, event_type)
+         WHERE rn = 1""",
+    "q_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+                count(*) AS n, round(min(value), 3) AS lo, round(max(value), 3) AS hi
+         FROM events GROUP BY event_type, CAST(floor(value / 50.0) AS BIGINT)"""
   )
 
   // ── DuckDB oracle builders for the similarity family ─────────────────────────

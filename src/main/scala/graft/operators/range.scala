@@ -57,4 +57,37 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("_bin")
   }
+
+  /** INTERVAL-OVERLAP JOIN — pair every left interval with every right
+    * interval it overlaps (`lStart <= rEnd && rStart <= lEnd`, closed ends),
+    * again with no equi key. Same binning scheme as `pointInInterval`, with
+    * the classic duplicate-elimination refinement: two overlapping intervals
+    * share every bin from `bin(max(starts))` through `bin(min(ends))`, so the
+    * joined pair would surface once per shared bin. Instead of a post-join
+    * `distinct` (a second full shuffle of the matched pairs), each pair is
+    * kept ONLY in its first shared bin — `_bin == bin(greatest(starts))`,
+    * which both sides are guaranteed to cover because overlap means
+    * `max(starts) <= min(ends)`, and which binOf's monotonicity turns into
+    * `greatest(bin(lStart), bin(rStart))`. A map-side filter, no extra
+    * shuffle, exact multiplicity. */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty,
+      s"left/right column names collide: $clash — alias them first")
+    require(!(left.columns ++ right.columns).contains("_bin"),
+      "inputs use the reserved internal column _bin")
+    def binOf(c: org.apache.spark.sql.Column) =
+      call_function("div", c - pmod(c, lit(binWidth)), lit(binWidth))
+    def explodeBins(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) >= col(s))
+      .withColumn("_bin", explode(sequence(binOf(col(s)), binOf(col(e)))))
+    explodeBins(left, lStart, lEnd)
+      .join(explodeBins(right, rStart, rEnd), "_bin")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("_bin") === greatest(binOf(col(lStart)), binOf(col(rStart))))
+      .drop("_bin")
+  }
 }

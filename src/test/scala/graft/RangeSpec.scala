@@ -57,6 +57,50 @@ class RangeSpec extends SparkSpec {
     }
   }
 
+  test("interval overlap equals brute force with exact multiplicity for every bin width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def mk(n: Int, maxLen: Int) = (0 until n).map { i =>
+      val s = rnd.nextInt(300).toLong; (i.toLong, s, s + rnd.nextInt(maxLen))
+    }
+    val as = mk(80, 20); val bs = mk(70, 35)
+    val expected = (for {
+      (ai, as_, ae) <- as; (bi, bs_, be) <- bs if as_ <= be && bs_ <= ae
+    } yield (ai, bi)).toSet
+    assert(expected.nonEmpty)
+    for (w <- Seq(1L, 8L, 21L, 500L)) {
+      val rows = RangeJoin.intervalOverlap(
+          as.toDF("a_id", "a_s", "a_e"), "a_s", "a_e",
+          bs.toDF("b_id", "b_s", "b_e"), "b_s", "b_e", w)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // set equality AND no per-shared-bin duplicates: each pair exactly once
+      assert(rows.length === rows.toSet.size, s"binWidth=$w produced duplicate pairs")
+      assert(rows.toSet === expected, s"binWidth=$w")
+    }
+  }
+
+  test("interval overlap: touching endpoints match, disjoint and inverted do not") {
+    import spark.implicits._
+    val a = Seq(("a1", 0L, 10L), ("a2", 50L, 60L), ("a3", 9L, 2L)).toDF("at", "as", "ae")
+    val b = Seq(("b1", 10L, 20L),  // touches a1 at 10 (closed ends)
+        ("b2", 21L, 30L),          // disjoint from everything
+        ("b3", 55L, 55L))          // degenerate inside a2
+      .toDF("bt", "bs", "be")
+    val got = RangeJoin.intervalOverlap(a, "as", "ae", b, "bs", "be", 7L)
+      .select("at", "bt").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("a1", "b1"), ("a2", "b3")))
+  }
+
+  test("interval overlap plan is a hash equi-join on the bin, never a nested loop") {
+    import spark.implicits._
+    val plan = RangeJoin.intervalOverlap(
+        Seq((1L, 0L, 2L)).toDF("ai", "as", "ae"), "as", "ae",
+        Seq((2L, 1L, 3L)).toDF("bi", "bs", "be"), "bs", "be", 2L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Join"), plan)
+  }
+
   test("range join plan is a hash equi-join on the bin, never a nested loop") {
     import spark.implicits._
     val plan = RangeJoin.pointInInterval(
