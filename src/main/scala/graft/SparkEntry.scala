@@ -415,6 +415,20 @@ object SparkEntry {
         .leftAsof(clicks, purchases, Seq("user_id"), "ts", "ts")
         .select("user_id", "click_id", "last_purchase_value")
     }),
+    "q_asof_fwd" -> ((s, d) => {
+      // FORWARD AS-OF JOIN: each click paired with the user's EARLIEST
+      // purchase at-or-after it — the same single-shuffle composition with
+      // the sort order reversed (operators/asof.scala)
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(round(max("value"), 3).as("next_purchase_value"))
+      graft.operators.AsofJoin
+        .leftAsofForward(clicks, purchases, Seq("user_id"), "ts", "ts")
+        .select("user_id", "click_id", "next_purchase_value")
+    }),
     "q_union_multi" -> ((s, d) => {
       // §2.7 N-way HETEROGENEOUS union — the reference's KSB pattern of
       // unioning N differently-shaped ontology/metadata tables into one feed
@@ -1077,6 +1091,14 @@ object SparkEntry {
                     FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
          SELECT l.user_id, l.click_id, r.last_purchase_value
          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    // forward direction: DuckDB ASOF with <= picks the smallest r.ts >= l.ts
+    "q_asof_fwd" ->
+      """WITH l AS (SELECT user_id, event_id AS click_id, ts FROM events
+                    WHERE event_type = 'click'),
+              r AS (SELECT user_id, ts, round(max(value), 3) AS next_purchase_value
+                    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+         SELECT l.user_id, l.click_id, r.next_purchase_value
+         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""",
     "q_union_multi" ->
       """SELECT CAST(c_custkey AS BIGINT) AS entity_id, c_name AS name,
                 c_acctbal AS acctbal, 'customer' AS src

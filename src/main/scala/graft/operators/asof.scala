@@ -39,8 +39,24 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Backward as-of (the default): latest right row with `rightTime <= leftTime`. */
   def leftAsof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-               leftTime: String, rightTime: String): DataFrame = {
+               leftTime: String, rightTime: String): DataFrame =
+    asofImpl(left, right, keyCols, leftTime, rightTime, forward = false)
+
+  /** FORWARD as-of: the EARLIEST right row with `rightTime >= leftTime`
+    * (inclusive), or nulls if none — "the next reading at-or-after this
+    * event". Same single-shuffle composition with the sort order reversed:
+    * in descending time order, the running `last` right row seen at-or-before
+    * a left row is exactly the smallest rightTime >= leftTime. DuckDB mirrors
+    * it as `ASOF LEFT JOIN ... ON l.ts <= r.ts`. */
+  def leftAsofForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                      leftTime: String, rightTime: String): DataFrame =
+    asofImpl(left, right, keyCols, leftTime, rightTime, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                       leftTime: String, rightTime: String,
+                       forward: Boolean): DataFrame = {
     require(keyCols.nonEmpty, "asof join needs at least one key column")
     val payload = right.columns.toSeq
       .filterNot(c => keyCols.contains(c) || c == rightTime)
@@ -77,8 +93,10 @@ object AsofJoin {
         lit(null).cast(rTagged.schema("_rpay").dataType).as("_rpay")): _*)
     // right rows null-fill the left-only columns; dropped by the side filter
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // ties: right (_side=0) sorts before left at equal _t in EITHER direction,
+    // so a right row exactly at leftTime is matched inclusively both ways
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(if (forward) col("_t").desc else col("_t").asc, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_asof", last(col("_rpay"), ignoreNulls = true).over(w))

@@ -57,7 +57,14 @@ object ChangeFeed {
     agg.withColumn(changeCol, change)
       .filter(col(changeCol).isNotNull)
       .select(keyCols.map(col) ++ Seq(col(changeCol),
-        col("_v1._lsn").as("_old_lsn"), col("_v2._lsn").as("_new_lsn")) ++
+        // _old_lsn = the prior LIVE version's LSN, NULL on inserts. Reporting
+        // the from-version TOMBSTONE's LSN instead would leak which version
+        // the feed was computed from: feed(v1,v2) would stamp an insert with
+        // v1's tombstone while feed(v0,v2) stamps the same insert NULL —
+        // breaking squash composition (caught by ChangeFeedSpec's squash
+        // property on delete-then-reinsert keys).
+        when(live1, col("_v1._lsn")).as("_old_lsn"),
+        col("_v2._lsn").as("_new_lsn")) ++
         payloadCols.map(p => winner.getField(p).as(p)): _*)
   }
 
@@ -72,6 +79,51 @@ object ChangeFeed {
     val tagged = table.readAsOf(fromVersion).withColumn("_gen", lit(1))
       .unionByName(table.readAsOf(toVersion).withColumn("_gen", lit(2)), true)
     diffTagged(tagged, Schemas.keyCols, payload)
+  }
+
+  /** SQUASH two consecutive feeds — `a` covering v0→v1 and `b` covering
+    * v1→v2 — into the v0→v2 feed, without touching the table: the compaction
+    * a downstream CDF consumer applies when it missed a sync window. Per key:
+    *
+    *  - present in only one feed → that row unchanged;
+    *  - insert then delete → NO row (the key appeared and vanished — the
+    *    v0→v2 feed never saw it);
+    *  - insert then update → insert (b's payload, a's null old-LSN);
+    *  - update then update → update (a's old-LSN, b's new-LSN and payload);
+    *  - delete then insert → update (the key was live at both endpoints);
+    *  - insert/update then delete → delete.
+    *
+    * Two caveats, both asserted in ChangeFeedSpec: a squashed DELETE row's
+    * payload is NULL (the direct v0→v2 feed carries the v0 winner's payload,
+    * but feed `a`'s rows carry only their NEW payload — the v0 image is not
+    * present in either input), and its `_new_lsn` is the newest tombstone the
+    * INPUT feeds saw (a later delete event that merely re-deletes an already
+    * dead key advances the tombstone without emitting a feed row, so the
+    * direct feed may report a newer tombstone LSN). Classification,
+    * `_old_lsn`, and all insert/update columns are exact.
+    */
+  def squash(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+             payloadCols: Seq[String]): DataFrame = {
+    val metaCols = Seq(changeCol, "_old_lsn", "_new_lsn")
+    def pack(df: DataFrame, tag: String) = df.select(keyCols.map(col) :+
+      struct((metaCols ++ payloadCols).map(col): _*).as(tag): _*)
+    val joined = pack(a, "_a").join(pack(b, "_b"), keyCols, "full_outer")
+    val (ac, bc) = (col(s"_a.${changeCol}"), col(s"_b.${changeCol}"))
+    val change = when(col("_b").isNull, ac)
+      .when(col("_a").isNull, bc)
+      .when(ac === "insert" && bc === "delete", lit(null))
+      .when(ac === "insert", "insert")   // insert + update
+      .when(bc === "delete", "delete")   // update + delete
+      .otherwise("update")               // update+update, delete+insert
+    val src = when(col("_b").isNull, col("_a")).otherwise(col("_b"))
+    joined.withColumn(changeCol, change)
+      .filter(col(changeCol).isNotNull)
+      .select(keyCols.map(col) ++ Seq(col(changeCol),
+        when(col("_a").isNull, col("_b._old_lsn"))
+          .otherwise(col("_a._old_lsn")).as("_old_lsn"),
+        src.getField("_new_lsn").as("_new_lsn")) ++
+        payloadCols.map(p => when(col(changeCol) === "delete" && col("_b").isNotNull,
+          lit(null)).otherwise(src.getField(p)).as(p)): _*)
   }
 
   /** Watermark form for append-only event logs (no tombstones): the change

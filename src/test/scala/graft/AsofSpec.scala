@@ -50,6 +50,44 @@ class AsofSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("forward as-of: earliest right at-or-after each left row, inclusive ties") {
+    import spark.implicits._
+    val clicks = Seq(("u1", 10L, ts(0)), ("u1", 11L, ts(3)), ("u1", 12L, ts(7)),
+        ("u1", 13L, ts(5)),                 // exactly at a purchase: inclusive
+        ("u2", 20L, ts(4)))
+      .toDF("user_id", "click_id", "ts")
+    val purchases = Seq(("u1", ts(1), 5.0), ("u1", ts(5), 9.0))
+      .toDF("user_id", "ts", "pv")
+    val got = AsofJoin.leftAsofForward(clicks, purchases, Seq("user_id"), "ts", "ts")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got === Map(10L -> Some(5.0),   // t0: next purchase t1
+      11L -> Some(9.0),                    // t3: next purchase t5
+      13L -> Some(9.0),                    // t5 == purchase t5: inclusive
+      12L -> None,                         // t7: nothing after
+      20L -> None))
+  }
+
+  test("forward as-of equals a brute-force per-row scan on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val lefts = (0 until 300).map(i =>
+      (s"u${rnd.nextInt(8)}", i.toLong, ts(rnd.nextInt(100))))
+    val rights = (0 until 150).map(i =>
+      (s"u${rnd.nextInt(8)}", ts(rnd.nextInt(100)), i.toDouble))
+      .groupBy(r => (r._1, r._2)).map { case ((u, t), rs) => (u, t, rs.map(_._3).max) }
+      .toSeq
+    val got = AsofJoin.leftAsofForward(lefts.toDF("user_id", "click_id", "ts"),
+        rights.toDF("user_id", "ts", "pv"), Seq("user_id"), "ts", "ts")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val expected = lefts.map { case (u, id, t) =>
+      val after = rights.filter(r => r._1 == u && !r._2.before(t))
+      id -> (if (after.isEmpty) None else Some(after.minBy(_._2.getTime)._3))
+    }.toMap
+    assert(got === expected)
+  }
+
   test("right rows with NULL timestamp are excluded, not carried from -infinity") {
     import spark.implicits._
     val clicks = Seq(("u1", 1L, ts(0)), ("u1", 2L, ts(9))).toDF("user_id", "click_id", "ts")

@@ -50,7 +50,7 @@ class ChangeFeedSpec extends SparkSpec {
       val o = w1.get(k).filterNot(_._2) // live at v1
       val n = w2.get(k).filterNot(_._2) // live at v2
       (o, n) match {
-        case (None, Some(nw)) => Some((k, "insert", w1.get(k).map(_._1), nw._1, nw._3))
+        case (None, Some(nw)) => Some((k, "insert", None, nw._1, nw._3))
         case (Some(ow), None) => Some((k, "delete", Some(ow._1), w2(k)._1, ow._3))
         case (Some(ow), Some(nw)) if nw._1 > ow._1 =>
           Some((k, "update", Some(ow._1), nw._1, nw._3))
@@ -65,6 +65,43 @@ class ChangeFeedSpec extends SparkSpec {
     assert(got === expected, s"feed mismatch: extra=${got -- expected} missing=${expected -- got}")
     assert(got.exists(_._2 == "delete"), "scenario must exercise deletes")
     assert(got.exists(_._2 == "update"))
+  }
+
+  test("squash(feed(v0,v1), feed(v1,v2)) equals feed(v0,v2): classification and LSNs exact, payloads exact except squashed-delete") {
+    val t = LakeTable.create(spark, tmpDir("cfsq"),
+      CdcMerge.physicalSchema(Schemas.transcript), 8)
+    // seed the table first: against an EMPTY v0 no key can classify as a
+    // delete (nothing was live), which would leave the delete paths untested
+    assert(CdcMerge.applyBatch(t, ChangeGen.events(spark, 900L, numConvs = 20,
+      maxTurns = 6, pDelete = 0.05, seed = 10L, lsnStart = 0L), 0L, "q").applied)
+    val v0 = t.snapshot.version
+    assert(CdcMerge.applyBatch(t, ChangeGen.events(spark, 900L, numConvs = 20,
+      maxTurns = 6, pDelete = 0.2, seed = 11L, lsnStart = 900L), 1L, "q").applied)
+    val v1 = t.snapshot.version
+    assert(CdcMerge.applyBatch(t, ChangeGen.events(spark, 900L, numConvs = 20,
+      maxTurns = 6, pDelete = 0.3, seed = 12L, lsnStart = 1800L), 2L, "q").applied)
+    val v2 = t.snapshot.version
+    val payload = Seq("role", "text", "tool", "ts")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("conv_id", "turn_idx", ChangeFeed.changeCol, "_old_lsn", "_new_lsn", "text")
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getString(5)))).toSet
+    val squashed = rows(ChangeFeed.squash(
+      ChangeFeed.betweenVersions(t, v0, v1), ChangeFeed.betweenVersions(t, v1, v2),
+      Schemas.keyCols, payload))
+    val direct = rows(ChangeFeed.betweenVersions(t, v0, v2))
+    // delete rows: the direct feed carries the v0 payload image and the
+    // NEWEST tombstone LSN at v2, neither of which the input feeds contain
+    // (tombstone-advance events emit no feed row) — squash documents payload
+    // NULL and a possibly-earlier tombstone LSN; mask both on both sides
+    def mask(s: Set[((String, Int), String, Option[Long], Long, Option[String])]) =
+      s.map { case r @ (k, c, o, _, _) => if (c == "delete") (k, c, o, -1L, None) else r }
+    assert(mask(squashed) === mask(direct),
+      s"extra=${mask(squashed) -- mask(direct)} missing=${mask(direct) -- mask(squashed)}")
+    // and insert/update payloads must be EXACT (unmasked)
+    assert(squashed.filter(_._2 != "delete") === direct.filter(_._2 != "delete"))
+    assert(direct.exists(_._2 == "delete") && direct.exists(_._2 == "update"))
   }
 
   test("one-shuffle plan: a single hash aggregate exchange, no join") {
