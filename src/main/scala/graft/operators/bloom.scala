@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.PortableHash
-
 /** BLOOM-FILTER SEMI-JOIN REDUCTION — kill non-matching fact rows MAP-SIDE,
   * before they reach the semi-join's shuffle or probe its hash table.
   *
@@ -16,8 +14,9 @@ import graft.functions.PortableHash
   * to broadcast as a set while a 2^20-bit (128 KiB) bitmap still rides every
   * task closure fine — this is Spark's own runtime-filter strategy
   * (spark.sql.optimizer.runtime.bloomFilter, InjectRuntimeFilter), exposed
-  * here as an explicit operator with engine-portable md5 probes so the result
-  * (never the bitmap) stays oracle-checkable.
+  * here as an explicit operator. Only the exact semi-join RESULT is
+  * oracle-compared — the bitmap is internal, so the probes are free to use
+  * codegen-native xxhash64 instead of the portable-md5 discipline.
   *
   * Exactness: the bitmap only PRE-filters; an exact hash semi-join follows, so
   * false positives are removed and the result equals the plain semi-join
@@ -39,9 +38,18 @@ import graft.functions.PortableHash
   */
 object BloomFilter {
 
-  /** Non-negative probe position `i` of a value, in [0, mBits). */
+  /** Non-negative probe position `i` of a value, in [0, mBits).
+    *
+    * xxhash64, NOT the engine's portable md5: the similarity family needs
+    * md5 because its hashes surface in oracle-compared OUTPUT, but the bloom
+    * bitmap is internal — only the exact semi-join result is compared, and it
+    * is hash-independent. md5 costs ~µs/row and runs on the FACT side's hot
+    * scan (measured: md5 probes put q_bloom_semi at 5-8s at sf0.1 where
+    * xxhash64 runs the same query in ~1s); xxhash64 is a codegen'd native
+    * expression at ns/row, which is the only acceptable cost for a filter
+    * whose entire purpose is to be cheaper than the join it screens. */
   private def probe(c: Column, i: Int, mBits: Int): Column =
-    pmod(PortableHash.md5Long(concat(lit(s"bf$i:"), c.cast("string"))), lit(mBits.toLong))
+    pmod(xxhash64(c, lit(i)), lit(mBits.toLong))
 
   /** Dense bitmap words (`mBits/64` longs, word w covers bits [64w, 64w+63])
     * over the distinct values of `keys(keyCol)`. The aggregation is
