@@ -104,6 +104,43 @@ class ChangeFeedSpec extends SparkSpec {
     assert(direct.exists(_._2 == "delete") && direct.exists(_._2 == "update"))
   }
 
+  test("streaming CDF: per-epoch feeds over a replayed stream squash-fold to the whole-replay feed") {
+    // the streaming change-data-feed costs the WRITE path nothing: each
+    // microbatch's feed is derived lazily from the committed snapshots it
+    // already produced, and consumers that missed windows squash-fold
+    val src = tmpDir("cdf-src"); val tbl = tmpDir("cdf-tbl")
+    ChangeGen.writeEpochs(spark, src, epochs = 4, eventsPerEpoch = 1500L,
+      numConvs = 30, maxTurns = 6, pDelete = 0.2)
+    graft.streaming.CdcStream.runAvailable(spark, graft.streaming.CdcStream.Config(
+      src, tbl, tmpDir("cdf-ck"), queryId = "cdf", numBuckets = 8,
+      maxFilesPerTrigger = Some(1))) // several microbatches -> several commits
+    val t = LakeTable.load(spark, tbl)
+    val versions = LakeTable.history(tbl).map(_.version).sorted
+    assert(versions.size >= 4, s"expected one commit per epoch, got $versions")
+    val payload = Seq("role", "text", "tool", "ts")
+    val feeds = versions.sliding(2)
+      .map { case Seq(a, b) => ChangeFeed.betweenVersions(t, a, b) }.toSeq
+    val folded = feeds.reduce((x, y) => ChangeFeed.squash(x, y, Schemas.keyCols, payload))
+    val direct = ChangeFeed.betweenVersions(t, versions.head, versions.last)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("conv_id", "turn_idx", ChangeFeed.changeCol, "_old_lsn", "_new_lsn", "text")
+      .collect().map { r =>
+        val del = r.getString(2) == "delete"
+        ((r.getString(0), r.getInt(1)), r.getString(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (del) -1L else r.getLong(4),
+          if (del || r.isNullAt(5)) None else Some(r.getString(5)))
+      }.toSet
+    assert(rows(folded) === rows(direct))
+    // versions.head is GENESIS (empty table), so the direct feed can never
+    // classify a delete — mid-stream deletes must appear in the per-epoch
+    // feeds and ANNIHILATE (insert+delete) or fold (update+delete→delete,
+    // itself annihilating against the key's original insert) during squash
+    assert(feeds.exists(
+      _.filter(col(ChangeFeed.changeCol) === "delete").limit(1).count() > 0),
+      "scenario must exercise mid-stream deletes")
+  }
+
   test("one-shuffle plan: a single hash aggregate exchange, no join") {
     import spark.implicits._
     val ev = Seq(("A", 1L, "x"), ("B", 4L, "y")).toDF("k", "lsn", "v")
