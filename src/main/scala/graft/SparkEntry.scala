@@ -824,6 +824,29 @@ object SparkEntry {
       counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
     }),
+    "q_skew_join" -> ((s, d) => {
+      // SALTED SKEW JOIN (operators/skewjoin.scala): hot left keys sharded 8
+      // ways, right side replicated per shard — every left row still meets
+      // each matching right row exactly once; result equals the plain join
+      val left = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_quantity"))
+      val right = t(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      graft.operators.SkewJoin.saltedInner(left, right, Seq("k"), salt = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_quantity"))).as("qty")) // integral: order-independent
+    }),
+    "q_topk_group" -> ((s, d) => {
+      // §2.6 top-k PER GROUP: top-3 users by event count per event type,
+      // deterministic tie-break — count aggregate + rank window, never collect
+      val counts = t(s, d, "events").groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy(col("n").desc, col("user_id"))
+      counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("event_type"), col("rank").cast("long").as("rank"),
+          col("user_id"), col("n"))
+    }),
     "q_histogram" -> ((s, d) =>
       // equi-width histogram of value per event_type: the deterministic
       // distribution sketch (floor-div bin + order-independent min/max/count;
@@ -1444,6 +1467,19 @@ object SparkEntry {
                                          ORDER BY count(*) DESC, event_type) AS rn
                FROM events GROUP BY user_id, event_type)
          WHERE rn = 1""",
+    "q_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderkey % 10 = 0
+         GROUP BY o_orderpriority""",
+    "q_topk_group" ->
+      """SELECT event_type, rank, user_id, n
+         FROM (SELECT event_type, user_id, count(*) AS n,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY count(*) DESC, user_id) AS rank
+               FROM events GROUP BY event_type, user_id)
+         WHERE rank <= 3""",
     "q_histogram" ->
       """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
                 count(*) AS n, round(min(value), 3) AS lo, round(max(value), 3) AS hi
