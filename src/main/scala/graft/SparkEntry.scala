@@ -669,6 +669,26 @@ object SparkEntry {
           shingleN = 2, k = 32, bands = 8, rowsPerBand = 4, maxBucket = 200)
         .select(col("left_id"), col("right_id"), round(col("jaccard"), 4).as("jac"))
         .filter(col("jac") >= 0.05)),
+    "q_editdist_neardup" -> ((s, d) => {
+      // fuzzy near-dup with EDIT-DISTANCE verify: the same LSH band-bucket
+      // blocking as the jaccard family (never all-pairs), then Spark's
+      // codegen'd levenshtein on a 200-char cap — the verify metric of choice
+      // when token-set overlap is blind to the edit (transpositions, OCR-ish
+      // character noise). Cap keeps the O(|a|·|b|) cell cost bounded per pair
+      // and is part of the oracle contract.
+      val docs = t(s, d, "documents")
+      val rows = SimOps.shingleRows(docs, "doc_id", "text", 2)
+      val sigs = SimOps.minhashSignaturesFromRows(rows, "doc_id", 32)
+      val pairs = SimOps.candidatePairs(
+        SimOps.bandBuckets(sigs, "doc_id", 8, 4), "doc_id", 200)
+      val txt = docs.select(col("doc_id"), substring(col("text"), 1, 200).as("t200"))
+      pairs
+        .join(txt.select(col("doc_id").as("left_id"), col("t200").as("lt")), "left_id")
+        .join(txt.select(col("doc_id").as("right_id"), col("t200").as("rt")), "right_id")
+        .select(col("left_id"), col("right_id"),
+          levenshtein(col("lt"), col("rt")).cast("long").as("dist"))
+        .filter(col("dist") <= 60)
+    }),
     "q_neardup_resolve" -> ((s, d) => {
       // the end-to-end near-dup dedup operator: LSH candidates → exact-jaccard
       // verify → keep-min-id survivors (a doc is dropped iff a verified-similar
@@ -824,6 +844,14 @@ object SparkEntry {
       counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
     }),
+    "q_cube" -> ((s, d) =>
+      // §2.4 CUBE: all four grouping sets of (event_type, value band) in one
+      // Expand + one aggregate — same one-shuffle shape as q_rollup. Both
+      // cube dimensions are non-null by construction, so subtotal NULLs are
+      // unambiguous without a grouping_id column.
+      t(s, d, "events")
+        .select(col("event_type"), floor(col("value") / 100.0d).cast("long").as("vband"))
+        .cube("event_type", "vband").agg(count(lit(1)).as("n"))),
     "q_skew_join" -> ((s, d) => {
       // SALTED SKEW JOIN (operators/skewjoin.scala): hot left keys sharded 8
       // ways, right side replicated per shard — every left row still meets
@@ -1467,6 +1495,20 @@ object SparkEntry {
                                          ORDER BY count(*) DESC, event_type) AS rn
                FROM events GROUP BY user_id, event_type)
          WHERE rn = 1""",
+    "q_editdist_neardup" ->
+      s"""WITH ${lshCtesSql(shingleN = 2)}, $neardupCtesSql
+          SELECT p.left_id, p.right_id,
+                 CAST(levenshtein(substr(ta.text, 1, 200),
+                                  substr(tb.text, 1, 200)) AS BIGINT) AS dist
+          FROM pairs p
+          JOIN documents ta ON ta.doc_id = p.left_id
+          JOIN documents tb ON tb.doc_id = p.right_id
+          WHERE levenshtein(substr(ta.text, 1, 200), substr(tb.text, 1, 200)) <= 60""",
+    "q_cube" ->
+      """SELECT event_type, vband, count(*) AS n
+         FROM (SELECT event_type, CAST(floor(value / 100.0) AS BIGINT) AS vband
+               FROM events)
+         GROUP BY CUBE (event_type, vband)""",
     "q_skew_join" ->
       """SELECT o_orderpriority, count(*) AS n,
                 CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
