@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 import graft.operators.CdcMerge
 import graft.sources.LakeTable
@@ -160,7 +161,9 @@ object Replay {
       val byKind = feed.groupBy(graft.operators.ChangeFeed.changeCol).count()
         .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
       println(s"changes v$from -> v$to: $byKind")
-      feed.orderBy("conv_id", "turn_idx")
+      // keys derived from Schemas.keyCols, like betweenVersions above — a
+      // hardcoded column list would silently break if the key schema changed
+      feed.orderBy(Schemas.keyCols.map(col): _*)
         .show(rest.headOption.map(_.toInt).getOrElse(10), false)
       spark.stop()
 

@@ -79,15 +79,28 @@ object SparkEntry {
         .agg(sum("brk").as("n_sessions"), count(lit(1)).as("n_events"))
     }),
     "q_link_traversal" -> ((s, d) => {
-      // J3 derivation-link traversal: forward join each record to its derived
-      // successor (same parent key, next ordinal)
-      val li = t(s, d, "lineitem")
-      li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("b.l_linenumber") === col("a.l_linenumber") + 1)
-        .groupBy(col("a.l_orderkey").as("l_orderkey"))
-        .agg(count(lit(1)).as("n_links"),
-          round(sum(col("b.l_quantity") - col("a.l_quantity")), 2).as("qty_drift"))
+      // J3 derivation-link traversal: forward-link each record to every
+      // derived successor (same parent key, next ordinal). RANGE-frame window
+      // form (round-6 optimization, guide §2.4 "remove shuffles outright"):
+      // for each row, the rows at EXACTLY ordinal+1 are the window frame
+      // RANGE BETWEEN 1 FOLLOWING AND 1 FOLLOWING over the ordinal, so the
+      // old self-join (2 scans + 2 join exchanges + a 3rd aggregate exchange)
+      // collapses to ONE key exchange whose partitioning the groupBy reuses.
+      // Arithmetic is pair-exact under duplicate ordinals: a row with c
+      // successors of quantity-sum q contributes c links and (q − c·own_qty)
+      // drift — identical to the join fan-out (quantities are integral, so
+      // the regrouped sum is exact, not an FP reordering risk).
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rangeBetween(1, 1)
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("_cnt_next", count(lit(1)).over(w))
+        .withColumn("_sum_next", sum("l_quantity").over(w))
+        .filter(col("_cnt_next") > 0)
+        .groupBy(col("l_orderkey"))
+        .agg(sum("_cnt_next").as("n_links"),
+          round(sum(col("_sum_next") - col("_cnt_next") * col("l_quantity")), 2)
+            .as("qty_drift"))
     }),
 
     // ── scans / filters / projections (SURVEY §2.1-2.2) ───────────────────────

@@ -114,30 +114,41 @@ object SimOps {
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** Word n-gram shingles as ROWS (id, _sh), relational form: one token
-    * posexplode + window `lead` builds each shingle exactly once — no
-    * per-shingle re-tokenization. Tail shingles are clamped like the array form
-    * (a document with fewer than n tokens yields one shingle of all its
-    * tokens); documents with ZERO tokens yield no rows. Rows are NOT
-    * deduplicated — minhash mins are duplicate-insensitive; use dropDuplicates
-    * where true sets are needed. */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // Tokens are MATERIALIZED before the shingle lambda: the cache boundary
-    // stops CollapseProject from inlining the split into every lambda element
-    // (the O(tokens²)-per-document trap — interpreted split per shingle,
-    // measured 15× slower). With `_tk` a plain cached column, the transform is
-    // O(shingles × n) array slicing, fully map-side — NO shuffle. The window-
-    // lead alternative (round 1-2) built each shingle exactly once too, but
-    // paid a token-level hashpartition + per-doc sort of the whole corpus:
-    // the one shape that cannot survive 100 TB.
-    val toks = materialize(docs
-      .select(col(idCol),
-        filter(split(col(textCol), " "), t => length(t) > 0).as("_tk"))
-      .filter(size(col("_tk")) > 0))
-    toks.select(col(idCol), explode(transform(
-      sequence(lit(0), greatest(size(col("_tk")) - n, lit(0))),
-      i => concat_ws(" ", slice(col("_tk"), i + 1, lit(n))))).as("_sh"))
+  /** Word n-gram shingle ARRAY for one text column, built with zip_with over
+    * shifted token slices — a SINGLE-PROJECTION form whose lambdas reference
+    * only their own lambda variables, so CollapseProject inlining the token
+    * split costs O(n) split evaluations per ROW (de-duplicated again by
+    * subexpression elimination), never the O(tokens²)-per-document trap of a
+    * lambda body that re-references the token column per element (measured 15×
+    * slower in rounds 1-2, previously fenced off with an eager localCheckpoint
+    * of the token arrays — a whole extra job + block-manager round trip this
+    * form makes unnecessary; round-6 optimization, guide §1.2 "remove passes").
+    *
+    * Construction: chain k = 1..n-1 of `zip_with(acc, tokens shifted by k,
+    * concat)` appends each following token to every shingle prefix; zip_with
+    * null-pads the shorter side, and the when-guard keeps a clamped prefix
+    * as-is, reproducing the old clamp semantics exactly: a document with
+    * s >= n tokens yields s-n+1 full n-grams (the final slice keeps exactly
+    * those); 1 <= s < n yields ONE shingle of all its tokens; s = 0 yields an
+    * empty array. */
+  def shingleArray(text: Column, n: Int): Column = {
+    val toks = filter(split(text, " "), t => length(t) > 0)
+    val chained = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), size(toks)),
+        (a, b) => when(b.isNull, a).otherwise(concat(a, lit(" "), b)))
+    }
+    slice(chained, lit(1), greatest(size(toks) - (n - 1), lit(1)))
   }
+
+  /** Word n-gram shingles as ROWS (id, _sh): one map-side projection + explode
+    * of [[shingleArray]] — no shuffle, no materialization job. Tail shingles
+    * are clamped like the array form (a document with fewer than n tokens
+    * yields one shingle of all its tokens); documents with ZERO tokens yield
+    * no rows (explode of an empty array). Rows are NOT deduplicated — minhash
+    * mins are duplicate-insensitive; use dropDuplicates where true sets are
+    * needed. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol), explode(shingleArray(col(textCol), n)).as("_sh"))
 
   /** Jaccard similarity of two distinct-element arrays
     * (|∩| / (|A|+|B|−|∩|), the form the DuckDB oracle mirrors exactly). */
@@ -164,11 +175,20 @@ object SimOps {
   /** The benchmark side of decontamination as a standalone artifact: the
     * DISTINCT hashed n-gram set of an eval suite. Compute once, persist as a
     * parquet of `_h` longs, reuse across every batch/stream that screens
-    * against that benchmark. */
+    * against that benchmark (always regenerate with the same engine version —
+    * the hash function is internal and may change between versions).
+    *
+    * xxhash64, NOT portable md5: the gram hash never surfaces in
+    * oracle-compared output — it only MATCHES corpus grams against benchmark
+    * grams (equal grams ⟺ equal hashes; a 2^-64 collision is the same
+    * accepted risk the verify path's shingle-hash join takes) — and md5+conv
+    * on the corpus's hot shingle scan was the single most expensive
+    * per-row expression in the decontam plan (round-6 optimization; the
+    * BloomFilter.probe rationale applied to decontamination). */
   def benchGrams(bench: DataFrame, idCol: String, textCol: String,
                  n: Int = 3): DataFrame =
     shingleRows(bench, idCol, textCol, n)
-      .select(md5Long(col("_sh")).as("_h")).distinct()
+      .select(xxhash64(col("_sh")).as("_h")).distinct()
 
   /** [[contaminationCounts]] against a PRECOMPUTED gram-hash set (column `_h`),
     * keyed by arbitrary columns — the form the CDC stream uses: the benchmark
@@ -182,7 +202,7 @@ object SimOps {
     val keyed = corpus.select(struct(keyCols.map(col): _*).as("_key"), col(textCol))
     val gramSide = grams.select(col("_h"))
     shingleRows(keyed, "_key", textCol, n)
-      .select(col("_key"), md5Long(col("_sh")).as("_h"))
+      .select(col("_key"), xxhash64(col("_sh")).as("_h"))
       .join(if (broadcastGrams) broadcast(gramSide) else gramSide, Seq("_h"), "left_semi")
       .dropDuplicates("_key", "_h")
       .groupBy("_key").agg(count(lit(1)).as("overlap_ngrams"))
@@ -255,15 +275,18 @@ object SimOps {
     * — see the verifiedPairsFromRows scaladoc for the numbers. */
   def rawCandidatePairs(bandsDf: DataFrame, idCol: String,
                         maxBucket: Int = 200): DataFrame = {
-    // Materialize the (id, band, bucket) rows once: they feed THREE plan
-    // branches (bucket sizing + both sides of the pair self-join), and without
-    // a materialization Spark re-evaluates the whole shingle→minhash→band
-    // pipeline per branch. The materialized set is 1 row per (doc, band) —
-    // tiny next to the corpus.
-    val bands = materialize(bandsDf)
-    val sizes = bands.groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
-    val bounded = bands.join(sizes.filter(col("_n") <= maxBucket).drop("_n"),
-      Seq("band", "bucket"))
+    // Bucket sizing as a WINDOW count over (band, bucket) instead of the old
+    // aggregate + join-back (round-6 optimization, guide §2.4 "two operations
+    // keyed the same way share one exchange"): the window's (band, bucket)
+    // exchange is the SAME one the pair self-join needs, so both join sides
+    // are ReusedExchange reads of one shuffle — the shingle→minhash→band
+    // pipeline below it runs ONCE with no materialization job, and the
+    // separate `sizes` aggregate shuffle is gone. Post-shuffle the self-join
+    // is a sort-merge on already-partitioned, already-sorted input: zero
+    // additional exchanges before the pair distinct.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val bounded = bandsDf.withColumn("_n", count(lit(1)).over(w))
+      .filter(col("_n") <= maxBucket).drop("_n")
     bounded.as("a").join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -286,8 +309,14 @@ object SimOps {
     * straightforward shape stays. */
   def verifiedPairsFromRows(rows: DataFrame, pairs: DataFrame,
                             idCol: String): DataFrame = {
-    val dist = rows.dropDuplicates(idCol, "_sh")
-      .select(col(idCol), xxhash64(col("_sh")).as("_s"))
+    // hash BEFORE the distinct, dedup on (id, hash): the dedup shuffle then
+    // carries an 8-byte long per shingle instead of the shingle string
+    // (round-6, guide §2.3 "shuffle keys and metadata instead of payloads");
+    // equal shingles ⟺ equal hashes, so the distinct set — and with it every
+    // count — is unchanged barring the same ~n²/2^64 collision odds the join
+    // below already accepts
+    val dist = rows.select(col(idCol), xxhash64(col("_sh")).as("_s"))
+      .dropDuplicates(idCol, "_s")
     val sizes = dist.groupBy(idCol).agg(count(lit(1)).as("_sz"))
     val l = dist.select(col(idCol).as("left_id"), col("_s"))
     val r = dist.select(col(idCol).as("_rid"), col("_s").as("_s2"))
@@ -355,9 +384,14 @@ object SimOps {
       pairs.select(a.as("_a"), b.as("_b"))
         .unionByName(pairs.select(b.as("_a"), a.as("_b")))
         .distinct())
+    // seed labels at least(id, min neighbor) — the first propagation round
+    // computed directly from the edge list as one aggregate, with no
+    // labels-join (round-6: every edge row already carries the neighbor id,
+    // so round 1's join against the identity labeling was a no-op detour);
+    // every node appears as _a because edges are symmetric
     var labels = materialize(
-      edges.select(col("_a").as("_id")).distinct()
-        .withColumn("_lbl", col("_id")))
+      edges.groupBy(col("_a").as("_id")).agg(min("_b").as("_nb"))
+        .select(col("_id"), least(col("_id"), col("_nb")).as("_lbl")))
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
@@ -495,8 +529,10 @@ object SimOps {
     val rows = materialize(shingleRows(docs, idCol, textCol, shingleN))
     val bb = bandBuckets(minhashSignaturesFromRows(rows, idCol, k),
       idCol, bands, rowsPerBand).withColumn("_p", bandPartCol)
-    val dist = rows.dropDuplicates(idCol, "_sh")
-      .select(col(idCol), xxhash64(col("_sh")).as("_s"))
+    // hash before the distinct — same values, 8-byte dedup shuffle rows
+    // (see verifiedPairsFromRows)
+    val dist = rows.select(col(idCol), xxhash64(col("_sh")).as("_s"))
+      .dropDuplicates(idCol, "_s")
     val sizes = dist.groupBy(idCol).agg(count(lit(1)).as("_sz"))
     val counts = bb.groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
     NeardupIndexTables(bb, dist, sizes, counts)
@@ -676,7 +712,20 @@ object SimOps {
     val exploded = vecs.select(col(idCol), posexplode(col(vecCol)))
       .select(col(idCol), col("pos").as("_d"),
         floor(col("col").cast("double") * 1000).cast("long").as("_xi"))
-    val coefs = broadcast(exploded.select(col("_d")).distinct()
+    // dimension indices from ONE cheap max(size) scan of the un-exploded
+    // vectors + spark.range, instead of distinct() over the exploded corpus
+    // (which paid a full n×d scan AND a shuffle just to enumerate 0..d-1;
+    // round-6 optimization, guide §1.2 "don't compute things you throw
+    // away"). Extra rows for dimensions only some vectors reach are harmless:
+    // the coef join below is INNER, so unmatched dimensions drop out. The
+    // coefficient VALUES are unchanged (same md5 of the same "p,d" strings).
+    val spark = vecs.sparkSession
+    val d = vecs.agg(max(size(col(vecCol)))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    val coefs = broadcast(spark.range(math.max(d, 1).toLong)
+      .select(col("id").cast("int").as("_d"))
       .select(col("_d") +: (0 until planes).map(p =>
         (md5Long(concat(lit(p.toString), lit(","), col("_d").cast("string")))
           % 2000L - 1000L).as(s"_c$p")): _*))
@@ -723,8 +772,13 @@ object SimOps {
     // c copies of the corpus); ranking needs only (id, cid, cc) — the ranked
     // ids rejoin `base` for their vectors afterwards (one equi-join each)
     val cc = round(FloatVecDot.dot(col(vecCol), col("_cv")) / (col("_nrm") * col("_cn")), 6)
-    val scored = materialize(base.crossJoin(centroids)
-      .select(col(idCol), col("_cid"), cc.as("_cc")))
+    // NOT materialized: the score cross feeds exactly one consumer (the
+    // ranking window) — its old localCheckpoint was a whole extra job +
+    // block write of the n×c rows for zero reuse (round-6; the ranked
+    // frame below, which both the assign and probe branches read, keeps
+    // its materialization)
+    val scored = base.crossJoin(centroids)
+      .select(col(idCol), col("_cid"), cc.as("_cc"))
     val wAssign = Window.partitionBy(idCol).orderBy(col("_cc").desc, col("_cid"))
     // ONE ranking pass serves both the assignment (rank 1) and the probe list
     // (rank ≤ nProbe): the window sort over the n×c score cross is the

@@ -95,8 +95,15 @@ object AsofJoin {
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // ties: right (_side=0) sorts before left at equal _t in EITHER direction,
     // so a right row exactly at leftTime is matched inclusively both ways
+    // forward branch orders desc NULLS FIRST: Spark's plain desc is NULLS
+    // LAST, which would sort a null-_t left row after every right row and
+    // hand it the EARLIEST right payload (as if it occurred at -infinity) —
+    // contradicting the backward form (asc = NULLS FIRST, null left rows see
+    // an empty prefix) and DuckDB ASOF (l.ts <= r.ts is UNKNOWN for NULL).
+    // Right rows are already non-null-filtered, so nulls-first affects left
+    // rows only: they see no prior right row and get null payloads.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(if (forward) col("_t").desc else col("_t").asc, col("_side"))
+      .orderBy(if (forward) col("_t").desc_nulls_first else col("_t").asc, col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_asof", last(col("_rpay"), ignoreNulls = true).over(w))

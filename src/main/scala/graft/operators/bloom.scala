@@ -82,6 +82,13 @@ object BloomFilter {
     * the Bloom pre-filter ahead of it. Output = `fact` rows with a match. */
   def semiJoin(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
                mBits: Int = 1 << 16, k: Int = 3): DataFrame = {
+    // the probe hash is TYPE-sensitive (xxhash64 of an int differs from
+    // xxhash64 of the same value as long), so mismatched key types would make
+    // the bitmap screen silently drop true matches map-side — fail loudly
+    // instead, mirroring SkewJoin/RangeJoin's validation style
+    require(fact.schema(factKey).dataType == dim.schema(dimKey).dataType,
+      s"bloom semiJoin key types differ: $factKey is ${fact.schema(factKey).dataType}, " +
+        s"$dimKey is ${dim.schema(dimKey).dataType} — cast one side first")
     val words = build(dim, dimKey, mBits, k)
     fact.filter(mightContain(col(factKey), words, k))
       .join(dim.select(col(dimKey).as(factKey)).distinct(), Seq(factKey), "left_semi")

@@ -101,6 +101,26 @@ class AsofSpec extends SparkSpec {
     assert(got === Map(1L -> None, 2L -> Some(9.0)))
   }
 
+  test("left rows with NULL timestamp get null payloads in BOTH directions") {
+    import spark.implicits._
+    // a null left time has no position on the timeline: the backward form's
+    // asc order already put nulls first (empty prefix -> null payload); the
+    // forward form must order desc NULLS FIRST for the same result — plain
+    // desc is NULLS LAST, which would hand the null-ts row the EARLIEST right
+    // payload as if it occurred at -infinity
+    val clicks = Seq(("u1", 1L, null.asInstanceOf[Timestamp]), ("u1", 2L, ts(3)))
+      .toDF("user_id", "click_id", "ts")
+    val purchases = Seq(("u1", ts(1), 5.0), ("u1", ts(5), 9.0))
+      .toDF("user_id", "ts", "pv")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(res(AsofJoin.leftAsof(clicks, purchases, Seq("user_id"), "ts", "ts"))
+      === Map(1L -> None, 2L -> Some(5.0)))
+    assert(res(AsofJoin.leftAsofForward(clicks, purchases, Seq("user_id"), "ts", "ts"))
+      === Map(1L -> None, 2L -> Some(9.0)))
+  }
+
   test("duplicate (key, time) right rows fail loudly under the checkUnique flag") {
     import spark.implicits._
     val l = Seq(("a", 1L, ts(1))).toDF("k", "id", "ts")

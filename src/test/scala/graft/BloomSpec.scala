@@ -27,6 +27,22 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("mismatched key types fail loudly instead of silently dropping matches") {
+    import spark.implicits._
+    // xxhash64 is type-sensitive: an int fact key and a long dim key hash
+    // differently, so the screen would drop true matches map-side — the
+    // operator must reject the call instead
+    val fact = Seq((1, 10L), (2, 20L)).toDF("k", "fid") // k: int
+    val dim = Seq(Tuple1(1L), Tuple1(2L)).toDF("dk")    // dk: long
+    val e = intercept[IllegalArgumentException] {
+      BloomFilter.semiJoin(fact, "k", dim, "dk")
+    }
+    assert(e.getMessage.contains("key types differ"), e.getMessage)
+    // matching types pass
+    assert(BloomFilter.semiJoin(fact.select(col("k").cast("long"), col("fid")),
+      "k", dim, "dk").count() === 2L)
+  }
+
   test("bloom filter has no false negatives: every dim key passes the screen") {
     import spark.implicits._
     // facts == dim keys exactly: the screen may not drop a single row
