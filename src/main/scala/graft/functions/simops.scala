@@ -698,43 +698,69 @@ object SimOps {
 
   // ── hyperplane-LSH ANN ─────────────────────────────────────────────────────
 
-  /** Random-hyperplane LSH signatures for cosine ANN, relational form: one row
-    * per id with an integer `bucket` (bit p = sign of dot(vec, plane_p)).
-    *
-    * Planes are pseudo-random integer coefficients in [-1000, 1000) derived
-    * from md5("p,d") — materialized ONCE into a tiny (dims × planes) broadcast
-    * table, not recomputed per row. The dot product is exact INTEGER math over
-    * floor(1000·x): float sums are order-sensitive and a near-zero dot could
-    * flip sign under a different partitioning (or in the oracle engine);
-    * integer sums are associative, so the bucket is reproducible everywhere. */
-  def hyperplaneSignatures(vecs: DataFrame, idCol: String, vecCol: String,
-                           planes: Int = 8): DataFrame = {
-    val exploded = vecs.select(col(idCol), posexplode(col(vecCol)))
-      .select(col(idCol), col("pos").as("_d"),
-        floor(col("col").cast("double") * 1000).cast("long").as("_xi"))
-    // dimension indices from ONE cheap max(size) scan of the un-exploded
-    // vectors + spark.range, instead of distinct() over the exploded corpus
-    // (which paid a full n×d scan AND a shuffle just to enumerate 0..d-1;
-    // round-6 optimization, guide §1.2 "don't compute things you throw
-    // away"). Extra rows for dimensions only some vectors reach are harmless:
-    // the coef join below is INNER, so unmatched dimensions drop out. The
-    // coefficient VALUES are unchanged (same md5 of the same "p,d" strings).
-    val spark = vecs.sparkSession
-    val d = vecs.agg(max(size(col(vecCol)))).head() match {
+  /** Pure-Scala twin of [[PortableHash.md5Long]] for DRIVER-side constant
+    * derivation (the plane coefficient table): first 15 hex chars of md5,
+    * parsed base-16 — bit-identical to the Column form (FunctionsSpec sweeps
+    * both). 60-bit, non-negative. */
+  private[graft] def md5LongScala(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Plane coefficient in [-1000, 1000): the SAME md5("p,d") % 2000 − 1000
+    * derivation the relational form used (md5Long is non-negative, so Scala
+    * `%` and Spark `%` agree), now a driver-side constant. */
+  private[graft] def planeCoef(p: Int, d: Int): Long =
+    md5LongScala(s"$p,$d") % 2000L - 1000L
+
+
+  /** MAP-SIDE hyperplane bucket expression over a float-vector column: the
+    * codegen'd [[HyperplaneBucket]] kernel over the driver-computed
+    * [[planeCoef]] table — for each plane p, the exact integer dot of
+    * floor(1000·x_i) against the plane's coefficients, bit p = sign(dot_p).
+    * Dimensions past a vector's length (and null elements) contribute 0 —
+    * exactly the relational form's inner coef join over only-existing
+    * elements. Integer math keeps the bucket reproducible under any
+    * partitioning and in the oracle engine. Round-6 optimization (guide §2.4
+    * "remove shuffles outright"): signature derivation was an explode shuffle
+    * + aggregate + join-back PER CALL; as a projection it costs zero
+    * exchanges and fuses into whatever scan needs it. */
+  def hyperplaneBucket(vecCol: Column, planes: Int, d: Int): Column =
+    HyperplaneBucket.bucket(vecCol, planes, math.max(d, 1),
+      Array.tabulate(planes * math.max(d, 1))(idx =>
+        planeCoef(idx / math.max(d, 1), idx % math.max(d, 1))))
+
+  /** Longest vector length (one cheap max(size) aggregate — column-pruned
+    * scan, no shuffle beyond the 1-row final). */
+  private def dimOf(vecs: DataFrame, vecCol: String): Int =
+    vecs.agg(max(size(col(vecCol)))).head() match {
       case r if r.isNullAt(0) => 0
       case r => r.getInt(0)
     }
-    val coefs = broadcast(spark.range(math.max(d, 1).toLong)
-      .select(col("id").cast("int").as("_d"))
-      .select(col("_d") +: (0 until planes).map(p =>
-        (md5Long(concat(lit(p.toString), lit(","), col("_d").cast("string")))
-          % 2000L - 1000L).as(s"_c$p")): _*))
-    val dotAggs = (0 until planes).map(p => sum(col("_xi") * col(s"_c$p")).as(s"_dot$p"))
-    exploded.join(coefs, "_d")
-      .groupBy(idCol).agg(dotAggs.head, dotAggs.tail: _*)
-      .select(col(idCol),
-        (0 until planes).map(p => when(col(s"_dot$p") > 0, lit(1L << p)).otherwise(lit(0L)))
-          .reduce(_ + _).as("bucket"))
+
+  /** Random-hyperplane LSH signatures for cosine ANN: one row per id with an
+    * integer `bucket` (bit p = sign of dot(vec, plane_p)).
+    *
+    * Planes are pseudo-random integer coefficients in [-1000, 1000) derived
+    * from md5("p,d") ([[planeCoef]]). The dot product is exact INTEGER math
+    * over floor(1000·x): float sums are order-sensitive and a near-zero dot
+    * could flip sign under a different partitioning (or in the oracle
+    * engine); integer sums are associative, so the bucket is reproducible
+    * everywhere.
+    *
+    * The signature is the MAP-SIDE [[hyperplaneBucket]] projection: zero
+    * exchanges (the relational explode + coef-join + aggregate form it
+    * replaces paid a shuffle and a join-back per call; the coefficient table
+    * — planes×d longs — ships once per task inside the codegen'd kernel).
+    * Vectors with ZERO elements yield no signature row (the old relational
+    * inner join dropped them; the size > 0 filter preserves that). */
+  def hyperplaneSignatures(vecs: DataFrame, idCol: String, vecCol: String,
+                           planes: Int = 8): DataFrame = {
+    val d = dimOf(vecs, vecCol)
+    vecs.filter(size(col(vecCol)) > 0)
+      .select(col(idCol), hyperplaneBucket(col(vecCol), planes, d).as("bucket"))
   }
 
   // ── IVF-Flat ANN ───────────────────────────────────────────────────────────
@@ -763,40 +789,49 @@ object SimOps {
               c: Int = 16, nProbe: Int = 4, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nrm = sqrt(FloatVecDot.dot(col(vecCol), col(vecCol)))
-    val base = materialize(vecs.select(col(idCol), col(vecCol), nrm.as("_nrm")))
-    val centroids = broadcast(base
-      .orderBy(col(idCol)).limit(c)
-      .select(col(idCol).as("_cid"), col(vecCol).as("_cv"), col("_nrm").as("_cn")))
-    // (vector × centroid) scores: rounded cosine, deterministic ties by _cid.
-    // The vector does NOT ride through the n×c cross (that would materialize
-    // c copies of the corpus); ranking needs only (id, cid, cc) — the ranked
-    // ids rejoin `base` for their vectors afterwards (one equi-join each)
-    val cc = round(FloatVecDot.dot(col(vecCol), col("_cv")) / (col("_nrm") * col("_cn")), 6)
-    // NOT materialized: the score cross feeds exactly one consumer (the
-    // ranking window) — its old localCheckpoint was a whole extra job +
-    // block write of the n×c rows for zero reuse (round-6; the ranked
-    // frame below, which both the assign and probe branches read, keeps
-    // its materialization)
-    val scored = base.crossJoin(centroids)
-      .select(col(idCol), col("_cid"), cc.as("_cc"))
-    val wAssign = Window.partitionBy(idCol).orderBy(col("_cc").desc, col("_cid"))
-    // ONE ranking pass serves both the assignment (rank 1) and the probe list
-    // (rank ≤ nProbe): the window sort over the n×c score cross is the
-    // quantizer's dominant shuffle — materializing the ranked (id, cid, rn)
-    // triples (tiny: n×nProbe rows) halves it vs ranking once per branch
-    val ranked = materialize(scored
-      .withColumn("_rn", row_number().over(wAssign))
-      .filter(col("_rn") <= nProbe)
-      .select(col(idCol), col("_cid"), col("_rn")))
-    val assign = ranked
-      .filter(col("_rn") === 1).select(col(idCol), col("_cid"))
-      .join(base, Seq(idCol))
-      .select(col(idCol), col(vecCol), col("_nrm"), col("_cid"))
-    val probes = ranked
-      .select(col(idCol), col("_cid"))
-      .join(base, Seq(idCol))
-      .select(col(idCol).as("_qid"), col(vecCol).as("_qv"), col("_nrm").as("_qn"),
-        col("_cid"))
+    // the c centroid rows are BOUNDED METADATA (the 16-row table previously
+    // broadcast) — collecting them to the driver lets every (vector ×
+    // centroid) score, the per-vector assignment AND the per-vector probe
+    // list be computed MAP-SIDE in one projection (round-6 optimization,
+    // guide §2.4): the quantizer previously cost a corpus materialization
+    // job, an n×c cross, a window shuffle + sort over the n×c scores, a
+    // second materialization, and two equi-joins back to the corpus — all of
+    // it replaced by a c-element array_sort per row. Score values are
+    // unchanged: the same round(FloatVecDot/(nrm·cn), 6) expression over the
+    // same collected doubles, ties by cid exactly as the window's
+    // (cc DESC, cid) order.
+    val cents = vecs.orderBy(col(idCol)).limit(c)
+      .select(col(idCol), col(vecCol), nrm.as("_cn")).collect()
+    if (cents.isEmpty) { // empty corpus: no centroids, no neighbors
+      return vecs.select(col(idCol), lit(0).as("rank"),
+        col(idCol).as("nn_id"), lit(0.0).as("cos")).filter(lit(false))
+    }
+    val scoreStructs = cents.toSeq.map { r =>
+      val cv = r.getSeq[Float](1).toSeq
+      val cn = r.getDouble(2)
+      val cc = round(FloatVecDot.dot(col(vecCol), typedlit(cv)) /
+        (col("_nrm") * lit(cn)), 6)
+      struct(cc.as("cc"), lit(r.get(0)).as("cid"))
+    }
+    // (cc DESC, cid ASC) — the window order the ranking pass used; Spark's
+    // comparison semantics (NaN greatest, -0.0 = 0.0) match sort semantics
+    val cmp = (l: Column, r: Column) =>
+      when(l.getField("cc") > r.getField("cc"), -1)
+        .when(l.getField("cc") < r.getField("cc"), 1)
+        .when(l.getField("cid") < r.getField("cid"), -1)
+        .when(l.getField("cid") > r.getField("cid"), 1)
+        .otherwise(0)
+    val pr = slice(array_sort(array(scoreStructs: _*), cmp), 1, nProbe)
+    val base = vecs.select(col(idCol), col(vecCol), nrm.as("_nrm"))
+      .withColumn("_pr", pr)
+    // assignment = the top-scored centroid; probe list = top nProbe — both
+    // read straight out of the per-row sorted array, no shuffle until the
+    // probe equi-join itself
+    val assign = base.select(col(idCol), col(vecCol), col("_nrm"),
+      element_at(col("_pr"), 1).getField("cid").as("_cid"))
+    val probes = base.select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
+      col("_nrm").as("_qn"),
+      explode(transform(col("_pr"), x => x.getField("cid"))).as("_cid"))
     val dot = FloatVecDot.dot(col("_qv"), col(vecCol))
     val cands = probes.join(assign, Seq("_cid"))
       .filter(col("_qid") =!= col(idCol))
@@ -829,8 +864,13 @@ object SimOps {
     * buckets still PROBE (they appear on the query side), they just stop being
     * candidates. */
   private def capIndexBuckets(index: DataFrame, maxBucket: Int): DataFrame = {
-    val sizes = index.groupBy("bucket").agg(count(lit(1)).as("_bn"))
-    index.join(sizes.filter(col("_bn") <= maxBucket).drop("_bn"), Seq("bucket"))
+    // bucket population as a WINDOW count instead of aggregate + join-back
+    // (round-6, the rawCandidatePairs pattern): the window's bucket exchange
+    // is the SAME partitioning the probe equi-join on bucket needs, so the
+    // cap costs no additional shuffle of the index side
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    index.withColumn("_bn", count(lit(1)).over(w))
+      .filter(col("_bn") <= maxBucket).drop("_bn")
   }
 
   /** All probe masks within Hamming distance `radius` of a signature
@@ -863,9 +903,7 @@ object SimOps {
                          planes: Int = -1, radius: Int = 1,
                          maxBucket: Int = 200): DataFrame = {
     val p = if (planes > 0) planes else planesFor(vecs.count())
-    val nrm = sqrt(FloatVecDot.dot(col(vecCol), col(vecCol)))
-    val index = materialize(vecs.select(col(idCol), col(vecCol), nrm.as("_nrm"))
-      .join(hyperplaneSignatures(vecs, idCol, vecCol, p), idCol))
+    val index = hyperplaneIndex(vecs, idCol, vecCol, p)
     val bounded = capIndexBuckets(index, maxBucket)
     val masks = probeMasks(p, radius)
     val probes = index.select(col(idCol).as("_qid"), col(vecCol).as("_qv"),
@@ -887,18 +925,27 @@ object SimOps {
     * bucket space from the corpus via [[planesFor]] — one count() per call;
     * pass an explicit value where the corpus size is known or pinned (the
     * oracle queries pin 8 so the DuckDB mirror stays static). */
+  /** The ANN index frame (id, vec, _nrm, bucket) as ONE map-side projection:
+    * norms are computed once per vector, the bucket rides in via
+    * [[hyperplaneBucket]]. No materialization — both consumers (probe side,
+    * candidate side) re-run a column-pruned scan + projection, which at any
+    * scale is cheaper than the old signature shuffle + join-back + checkpoint
+    * job the relational signature form required. */
+  private def hyperplaneIndex(vecs: DataFrame, idCol: String, vecCol: String,
+                              p: Int): DataFrame = {
+    val nrm = sqrt(FloatVecDot.dot(col(vecCol), col(vecCol)))
+    val d = dimOf(vecs, vecCol)
+    vecs.filter(size(col(vecCol)) > 0)
+      .select(col(idCol), col(vecCol), nrm.as("_nrm"),
+        hyperplaneBucket(col(vecCol), p, d).as("bucket"))
+  }
+
   def annTopK(vecs: DataFrame, idCol: String, vecCol: String,
               planes: Int = -1, k: Int = 3, radius: Int = 1,
               maxBucket: Int = 200): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = if (planes > 0) planes else planesFor(vecs.count())
-    // norms are computed ONCE per vector here, not per candidate pair — only
-    // the dot product (one codegen'd FloatVecDot loop) runs per pair
-    val nrm = sqrt(FloatVecDot.dot(col(vecCol), col(vecCol)))
-    // the index feeds both the probe side and the candidate side — materialize
-    // once instead of re-deriving signatures per branch
-    val index = materialize(vecs.select(col(idCol), col(vecCol), nrm.as("_nrm"))
-      .join(hyperplaneSignatures(vecs, idCol, vecCol, p), idCol))
+    val index = hyperplaneIndex(vecs, idCol, vecCol, p)
     val bounded = capIndexBuckets(index, maxBucket)
     val masks = probeMasks(p, radius)
     val probes = index.select(col(idCol).as("_qid"), col(vecCol).as("_qv"),

@@ -156,6 +156,44 @@ class FunctionsSpec extends SparkSpec {
     assert(b(1L) !== b(3L)) // exactly opposite vector flips every plane sign
   }
 
+  test("HyperplaneBucket kernel == relational explode/coef-join/sum derivation") {
+    // a deterministic corpus with edge cases: negatives, exact zeros, a
+    // SHORT vector (missing dims must contribute 0), a zero vector
+    val rnd = new scala.util.Random(42)
+    val vecs = ((1L to 40L).map { i =>
+      (i, Seq.fill(7)((rnd.nextFloat() - 0.5f) * 4f))
+    } :+ (98L, Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f)) :+ (99L, Seq(1.5f, -2.5f)))
+      .toDF("vec_id", "embedding")
+    val planes = 8
+    // the pre-round-6 relational pipeline, inlined verbatim
+    val exploded = vecs.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("_d"),
+        floor(col("col").cast("double") * 1000).cast("long").as("_xi"))
+    val coefs = spark.range(7).select(col("id").cast("int").as("_d"))
+      .select(col("_d") +: (0 until planes).map(p =>
+        (graft.functions.PortableHash.md5Long(
+          concat(lit(p.toString), lit(","), col("_d").cast("string")))
+          % 2000L - 1000L).as(s"_c$p")): _*)
+    val dotAggs = (0 until planes).map(p =>
+      sum(col("_xi") * col(s"_c$p")).as(s"_dot$p"))
+    val relational = exploded.join(coefs, "_d")
+      .groupBy("vec_id").agg(dotAggs.head, dotAggs.tail: _*)
+      .select(col("vec_id"),
+        (0 until planes).map(p =>
+          when(col(s"_dot$p") > 0, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_ + _).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = SimOps.hyperplaneSignatures(vecs, "vec_id", "embedding", planes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === relational)
+    // driver-side coef twin == the Column md5 derivation it replaced
+    val sparkCoefs = coefs.collect().flatMap(r =>
+      (0 until planes).map(p => (p, r.getInt(0)) -> r.getLong(1 + p))).toMap
+    sparkCoefs.foreach { case ((p, d), v) =>
+      assert(SimOps.planeCoef(p, d) === v, s"planeCoef($p,$d)")
+    }
+  }
+
   test("portable md5 hashes match the oracle engine's derivation (fixed vectors)") {
     // expected values computed with DuckDB 1.0:
     //   CAST(concat('0x', substr(md5(s), 1, 15|1,8|9,8)) AS BIGINT)
