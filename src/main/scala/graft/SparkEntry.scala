@@ -592,18 +592,23 @@ object SparkEntry {
     }),
     "q_bigram_coverage" -> ((s, d) => {
       // boilerplate detection: the share of a doc's DISTINCT bigrams that are
-      // corpus-common (appear in ≥ 5 documents). Single-pass form: mark each
-      // shingle row common/not via ONE left join against the df-filtered
-      // bigram set, then one per-doc aggregate computes both counts — no
-      // semi-join + re-aggregate + outer-join chain
-      val sh = SimOps.materialize(
-        SimOps.shingleRows(t(s, d, "documents"), "doc_id", "text", 2)
-          .dropDuplicates("doc_id", "_sh"))
-      val common = sh.groupBy("_sh").agg(count(lit(1)).as("_df"))
-        .filter(col("_df") >= 5).select(col("_sh"), lit(1L).as("_isc"))
-      sh.join(common, Seq("_sh"), "left_outer")
+      // corpus-common (appear in ≥ 5 documents). Round-6 single-branch form:
+      // the document frequency of each bigram is a WINDOW count over the
+      // deduped shingle rows (guide §2.4 "two operations keyed the same way
+      // share one exchange") — the old shape materialized the shingles,
+      // aggregated a common-bigram set and joined it back; here one pass
+      // dedups, one window counts df, one per-doc aggregate finishes. The
+      // dedup + window + df test run on the 8-byte xxhash64 of the bigram
+      // (guide §2.3 "shuffle keys, not payloads"): equal bigrams ⟺ equal
+      // hashes, so both counts are unchanged barring the same ~n²/2^64
+      // collision odds every verify-path shingle join accepts.
+      val w = Window.partitionBy("_s")
+      SimOps.shingleRows(t(s, d, "documents"), "doc_id", "text", 2)
+        .select(col("doc_id"), xxhash64(col("_sh")).as("_s"))
+        .dropDuplicates("doc_id", "_s")
+        .withColumn("_df", count(lit(1)).over(w))
         .groupBy("doc_id").agg(count(lit(1)).as("n_distinct"),
-          sum(coalesce(col("_isc"), lit(0L))).as("n_common"))
+          sum(when(col("_df") >= 5, 1L).otherwise(0L)).as("n_common"))
         .select(col("doc_id"),
           round(col("n_common").cast("double")
             / col("n_distinct").cast("double"), 6).as("boilerplate_share"))

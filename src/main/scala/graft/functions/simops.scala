@@ -622,24 +622,19 @@ object SimOps {
 
   // ── SimHash ────────────────────────────────────────────────────────────────
 
-  /** 64-bit SimHash, relational form: one row per id with a `simhash` column;
-    * 64 codegen'd signed bit-sums over exploded tokens. Token bits come from
-    * two portable 32-bit md5 words (see [[PortableHash.md5Hi32]]). */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = docs
-      .select(col(idCol), explode(filter(split(col(textCol), " "), t => length(t) > 0)).as("_t"))
-      .withColumn("_hi", md5Hi32(col("_t")))
-      .withColumn("_lo", md5Lo32(col("_t")))
-    def bit(b: Int): Column =
-      if (b < 32) shiftright(col("_lo"), b).bitwiseAND(1L)
-      else shiftright(col("_hi"), b - 32).bitwiseAND(1L)
-    val aggs = (0 until 64).map(b =>
-      sum(when(bit(b) === 1L, 1).otherwise(-1)).as(s"_b$b"))
-    exploded.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(b => when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+  /** 64-bit SimHash: one row per id with a `simhash` column, computed
+    * MAP-SIDE by the [[SimhashText]] kernel (one md5 per token, one pass over
+    * the string's bytes) — the relational explode + 64-aggregate shuffle it
+    * replaces is gone. Token bits still come from the two portable 32-bit md5
+    * words (see [[PortableHash.md5Hi32]]), so values are unchanged and the
+    * DuckDB oracle mirror still applies. Documents with ZERO tokens yield no
+    * row (the old explode produced no rows for them): a non-empty token
+    * exists iff the text contains a non-space character, which the
+    * codegen'd translate-length filter tests without tokenizing. */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull &&
+        length(translate(col(textCol), " ", "")) > 0)
+      .select(col(idCol), SimhashText.simhash(col(textCol)).as("simhash"))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -651,7 +646,10 @@ object SimOps {
     * Hamming distance. Returns (left_id, right_id, hamming ≤ maxHamming). */
   def simhashNeardupPairs(sigs: DataFrame, idCol: String,
                           maxHamming: Int = 3): DataFrame = {
-    // the signature table feeds both join sides — materialize once
+    // the signature table feeds both join sides — materialize once (tried
+    // un-materialized after the kernel made signatures a projection: 0.41 →
+    // 0.71 s best-of-3 at sf0.1, the twin subtree plans cost more than the
+    // checkpoint job saves)
     val s = materialize(sigs)
     val bands = s.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(b =>

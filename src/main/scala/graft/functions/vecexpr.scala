@@ -170,3 +170,87 @@ object HyperplaneBucket {
     GraftColumnBridge.column(HyperplaneBucket(
       GraftColumnBridge.expression(vec), planes, d, coefs))
 }
+
+/** Native Catalyst expression: the 64-bit SimHash of a text's whitespace
+  * tokens, in one pass over the string's UTF-8 bytes.
+  *
+  * Tokenization splits on the single space byte 0x20 and skips empty tokens —
+  * exactly `filter(split(text, " "), t => length(t) > 0)` (UTF-8 multi-byte
+  * sequences never contain 0x20, so the byte split equals the character
+  * split). Per token, bit b of the signature weighs ±1 by bit b of the
+  * token's md5 (b < 32 from hex chars 9-16 = digest bytes 4-7; b ≥ 32 from
+  * hex chars 1-8 = bytes 0-3 — the PortableHash.md5Lo32/md5Hi32 words), and
+  * the signature sets bit b iff the signed sum is positive: bit-for-bit the
+  * relational explode → 64 conditional sums → sign pipeline it replaces
+  * (FunctionsSpec pins equality) and the DuckDB oracle's mirror.
+  *
+  * Round-6 optimization (guide §2.4): the signature becomes a PROJECTION —
+  * the per-call token explode, the 64-aggregate shuffle and the interpreted
+  * split/filter higher-order chain are gone; md5 runs once per token instead
+  * of twice (the hi/lo column pair could not share the digest). Third native
+  * expression, same justification pattern as [[FloatVecDot]]. */
+case class SimhashText(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash_text needs a string input, got ${t.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash_text"
+
+  override def nullSafeEval(v: Any): Any =
+    SimhashText.compute(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.SimhashText.compute($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashText {
+  def simhash(text: Column): Column =
+    GraftColumnBridge.column(SimhashText(GraftColumnBridge.expression(text)))
+
+  private val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** One-pass token SimHash over UTF-8 bytes (see class doc). Public static
+    * so generated code calls it directly. */
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val bytes = s.getBytes
+    val md = digest.get()
+    val counts = new Array[Int](64)
+    var start = 0
+    var i = 0
+    val n = bytes.length
+    while (i <= n) {
+      if (i == n || bytes(i) == 0x20) {
+        if (i > start) { // non-empty token [start, i)
+          md.reset()
+          md.update(bytes, start, i - start)
+          val dg = md.digest()
+          val hi = ((dg(0) & 0xFFL) << 24) | ((dg(1) & 0xFFL) << 16) |
+            ((dg(2) & 0xFFL) << 8) | (dg(3) & 0xFFL)
+          val lo = ((dg(4) & 0xFFL) << 24) | ((dg(5) & 0xFFL) << 16) |
+            ((dg(6) & 0xFFL) << 8) | (dg(7) & 0xFFL)
+          var b = 0
+          while (b < 64) {
+            val bit = if (b < 32) (lo >>> b) & 1L else (hi >>> (b - 32)) & 1L
+            counts(b) += (if (bit == 1L) 1 else -1)
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+}

@@ -156,6 +156,40 @@ class FunctionsSpec extends SparkSpec {
     assert(b(1L) !== b(3L)) // exactly opposite vector flips every plane sign
   }
 
+  test("SimhashText kernel == relational explode/64-bit-sum derivation") {
+    import graft.functions.PortableHash.{md5Hi32, md5Lo32}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick  brown\tfox  "), // double spaces, tab inside a token
+      (3L, " leading and trailing "),
+      (4L, "单 字 unicode 混合 tokens"),
+      (5L, "x"),
+      (6L, "      "), // spaces only: must yield NO row
+      (7L, "")        // empty: must yield NO row
+    ).toDF("doc_id", "text")
+    // the pre-round-6 relational pipeline, inlined verbatim
+    val exploded = corpus
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), t => length(t) > 0)).as("_t"))
+      .withColumn("_hi", md5Hi32(col("_t")))
+      .withColumn("_lo", md5Lo32(col("_t")))
+    def bit(b: Int) =
+      if (b < 32) shiftright(col("_lo"), b).bitwiseAND(1L)
+      else shiftright(col("_hi"), b - 32).bitwiseAND(1L)
+    val aggs = (0 until 64).map(b =>
+      sum(when(bit(b) === 1L, 1).otherwise(-1)).as(s"_b$b"))
+    val relational = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = SimOps.simhashSignatures(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === relational)
+    assert(!kernel.contains(6L) && !kernel.contains(7L))
+  }
+
   test("HyperplaneBucket kernel == relational explode/coef-join/sum derivation") {
     // a deterministic corpus with edge cases: negatives, exact zeros, a
     // SHORT vector (missing dims must contribute 0), a zero vector
