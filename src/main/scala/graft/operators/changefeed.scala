@@ -41,13 +41,23 @@ object ChangeFeed {
     * diffs, matching the reference's UPDATE_DATE stamping on re-loads).
     */
   private[graft] def diffTagged(tagged: DataFrame, keyCols: Seq[String],
-                                payloadCols: Seq[String]): DataFrame = {
+                                payloadCols: Seq[String]): DataFrame =
+    diffMembership(tagged
+      .withColumn("_in1", col("_gen") === 1)
+      .withColumn("_in2", col("_gen") === 2), keyCols, payloadCols)
+
+  /** [[diffTagged]] over boolean `_in1` / `_in2` MEMBERSHIP columns instead of
+    * an exclusive generation tag — the shape the one-scan
+    * [[graft.sources.LakeTable.readVersionsTagged]] read produces, where a
+    * row from a file shared by both manifests belongs to BOTH generations. */
+  private[graft] def diffMembership(tagged: DataFrame, keyCols: Seq[String],
+                                    payloadCols: Seq[String]): DataFrame = {
     // _lsn leads the struct so max() picks the per-generation winner by LSN;
     // _deleted and the payload ride along as that winner's attributes.
     val ver = struct((col("_lsn") +: col("_deleted") +: payloadCols.map(col)): _*)
     val agg = tagged.groupBy(keyCols.map(col): _*).agg(
-      max(when(col("_gen") === 1, ver)).as("_v1"),
-      max(when(col("_gen") === 2, ver)).as("_v2"))
+      max(when(col("_in1"), ver)).as("_v1"),
+      max(when(col("_in2"), ver)).as("_v2"))
     val live1 = col("_v1").isNotNull && !col("_v1._deleted")
     val live2 = col("_v2").isNotNull && !col("_v2._deleted")
     val change = when(!live1 && live2, "insert")
@@ -74,11 +84,23 @@ object ChangeFeed {
   def betweenVersions(table: LakeTable, fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion < toVersion,
       s"fromVersion must precede toVersion, got $fromVersion >= $toVersion")
-    val payload = table.schema.fieldNames.toSeq
-      .filterNot(c => CdcMerge.sysCols.contains(c) || Schemas.keyCols.contains(c))
-    val tagged = table.readAsOf(fromVersion).withColumn("_gen", lit(1))
-      .unionByName(table.readAsOf(toVersion).withColumn("_gen", lit(2)), true)
-    diffTagged(tagged, Schemas.keyCols, payload)
+    // ONE scan of the two manifests' file-set union with per-file membership
+    // tags (round-6 optimization): the old two-readAsOf union scanned the
+    // merge-on-read shared file prefix twice. Falls back to that form only
+    // when a schema evolution lies between the versions (readVersionsTagged
+    // returns None), where each generation must align to its own schema.
+    table.readVersionsTagged(fromVersion, toVersion) match {
+      case Some(tagged) =>
+        val payload = table.snapshotAt(toVersion).schema.fieldNames.toSeq
+          .filterNot(c => CdcMerge.sysCols.contains(c) || Schemas.keyCols.contains(c))
+        diffMembership(tagged, Schemas.keyCols, payload)
+      case None =>
+        val payload = table.schema.fieldNames.toSeq
+          .filterNot(c => CdcMerge.sysCols.contains(c) || Schemas.keyCols.contains(c))
+        val tagged = table.readAsOf(fromVersion).withColumn("_gen", lit(1))
+          .unionByName(table.readAsOf(toVersion).withColumn("_gen", lit(2)), true)
+        diffTagged(tagged, Schemas.keyCols, payload)
+    }
   }
 
   /** SQUASH two consecutive feeds — `a` covering v0→v1 and `b` covering

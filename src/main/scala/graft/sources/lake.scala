@@ -226,16 +226,21 @@ final class LakeTable(val spark: SparkSession, val dir: String,
     * version, after which this throws (segment manifest or data files GC'd). */
   def readAsOf(version: Long): DataFrame = {
     val s = snapshotAt(version)
-    // fail loudly if vacuum already expired this version's data files: segment
-    // manifests are checked strictly by snapshotAt, but an INLINE (unsegmented)
-    // snapshot lists files whose absence would otherwise surface as a scan-time
-    // path error — or, under spark.sql.files.ignoreMissingFiles=true, as a
-    // silently PARTIAL historical state, the worst possible failure mode
-    // batched: ONE listing per distinct parent directory instead of one
-    // driver-side exists() round trip per file — O(dirs), which on an object
-    // store is the difference between milliseconds and minutes for a large
-    // historical snapshot
-    val byParent = s.files.groupBy(f =>
+    requireFilesPresent(s.files, s"v$version")
+    readFiles(s, s.files)
+  }
+
+  /** Fail loudly if vacuum already expired any of these data files: segment
+    * manifests are checked strictly by snapshotAt, but an INLINE (unsegmented)
+    * snapshot lists files whose absence would otherwise surface as a scan-time
+    * path error — or, under spark.sql.files.ignoreMissingFiles=true, as a
+    * silently PARTIAL historical state, the worst possible failure mode.
+    * Batched: ONE listing per distinct parent directory instead of one
+    * driver-side exists() round trip per file — O(dirs), which on an object
+    * store is the difference between milliseconds and minutes for a large
+    * historical snapshot. */
+  private def requireFilesPresent(files: List[FileEntry], tag: String): Unit = {
+    val byParent = files.groupBy(f =>
       s"$dir/${f.path}".split('/').dropRight(1).mkString("/"))
     val missing = byParent.iterator.map { case (parent, fs) =>
       val present: Set[String] =
@@ -244,8 +249,55 @@ final class LakeTable(val spark: SparkSession, val dir: String,
       fs.count(f => !present.contains(s"$dir/${f.path}".split('/').last))
     }.sum
     if (missing > 0) throw new IllegalStateException(
-      s"snapshot v$version references $missing data file(s) already vacuumed")
-    readFiles(s, s.files)
+      s"snapshot $tag references $missing data file(s) already vacuumed")
+  }
+
+  /** One-scan CHANGE-FEED read (round-6 optimization, guide §1.2 "remove
+    * passes"): the UNION of two snapshots' file sets is read ONCE, each row
+    * tagged with boolean `_in1` / `_in2` membership columns derived from its
+    * file's presence in the respective manifest. Under merge-on-read v1's
+    * files are typically a shared prefix of v2's, which the old two-readAsOf
+    * union scanned TWICE. File names are unique table-wide
+    * (`data/e<version>_b<bucket>_<n>.parquet`), so membership keys on the
+    * basename via a broadcast (name, _in1, _in2) table — no extra shuffle.
+    * Returns None when a schema evolution lies between the versions
+    * (different current schema, or a schema id whose definition changed) —
+    * callers then fall back to the two-read union, which aligns each
+    * generation to its own snapshot schema. */
+  def readVersionsTagged(v1: Long, v2: Long): Option[DataFrame] = {
+    val s1 = snapshotAt(v1)
+    val s2 = snapshotAt(v2)
+    val compatible = s1.currentSchemaId == s2.currentSchemaId &&
+      s1.schemas.forall { case (k, v) => s2.schemas.get(k).contains(v) }
+    if (!compatible) return None
+    val f1 = s1.files.map(_.path).toSet
+    val f2 = s2.files.map(_.path).toSet
+    val union = s1.files ++ s2.files.filterNot(f => f1.contains(f.path))
+    if (union.isEmpty) return Some(
+      align(spark.createDataFrame(List.empty[org.apache.spark.sql.Row].asJava,
+          s2.schema), s2.schema)
+        .withColumn("_in1", lit(false)).withColumn("_in2", lit(false)))
+    requireFilesPresent(union, s"v$v1/v$v2")
+    def base(p: String) = p.split('/').last
+    val names = spark.createDataFrame(union.map(f =>
+      org.apache.spark.sql.Row(base(f.path), f1.contains(f.path), f2.contains(f.path))).asJava,
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("_gfile", org.apache.spark.sql.types.StringType, false),
+        org.apache.spark.sql.types.StructField("_in1", org.apache.spark.sql.types.BooleanType, false),
+        org.apache.spark.sql.types.StructField("_in2", org.apache.spark.sql.types.BooleanType, false))))
+    val cur = s2.schema
+    val tagged = union.groupBy(_.schemaId).map { case (sid, group) =>
+      val g = spark.read.schema(s2.schemaFor(sid))
+        .parquet(group.map(f => s"$dir/${f.path}"): _*)
+      val have = g.columns.toSet
+      // align to the current schema INLINE so the _metadata file column can
+      // ride along (the align() helper projects it away)
+      g.select(cur.fields.toSeq.map { fl =>
+        if (have.contains(fl.name)) col(fl.name).cast(fl.dataType).as(fl.name)
+        else lit(null).cast(fl.dataType).as(fl.name)
+      } :+ element_at(split(col("_metadata.file_path"), "/"), -1).as("_gfile"): _*)
+    }.reduce(_.unionByName(_))
+    Some(tagged.join(broadcast(names), "_gfile").drop("_gfile"))
   }
 
   /** The committed snapshot metadata at `version` (strict: every segment

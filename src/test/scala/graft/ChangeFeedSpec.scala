@@ -67,6 +67,50 @@ class ChangeFeedSpec extends SparkSpec {
     assert(got.exists(_._2 == "update"))
   }
 
+  test("betweenVersions one-scan: equals the two-read union, shared files read once") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val t = LakeTable.create(spark, tmpDir("cfeed1scan"),
+      CdcMerge.physicalSchema(Schemas.transcript), 8)
+    val e0 = ChangeGen.events(spark, 900L, numConvs = 20, maxTurns = 6,
+      pDelete = 0.05, seed = 21L, lsnStart = 0L)
+    assert(CdcMerge.applyBatch(t, e0, 0L, "q").applied)
+    val v1 = t.snapshot.version
+    val e1 = ChangeGen.events(spark, 900L, numConvs = 20, maxTurns = 6,
+      pDelete = 0.3, seed = 22L, lsnStart = 900L)
+    assert(CdcMerge.applyBatch(t, e1, 1L, "q").applied)
+    val v2 = t.snapshot.version
+
+    val fast = ChangeFeed.betweenVersions(t, v1, v2)
+    // the pre-round-6 two-readAsOf union, inlined
+    val payload = t.schema.fieldNames.toSeq
+      .filterNot(c => CdcMerge.sysCols.contains(c) || Schemas.keyCols.contains(c))
+    val slow = ChangeFeed.diffTagged(
+      t.readAsOf(v1).withColumn("_gen", lit(1))
+        .unionByName(t.readAsOf(v2).withColumn("_gen", lit(2)), true),
+      Schemas.keyCols, payload)
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+      "one-scan feed must be row-identical to the two-read union")
+
+    // files-read pin: every data file of the two manifests' union appears in
+    // exactly ONE scan relation exactly once (the old form read the shared
+    // merge-on-read prefix twice)
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.inputFiles.toSeq
+          case _ => Seq.empty
+        }
+      }.flatten
+    val fastFiles = scanFiles(fast)
+    val expected =
+      (t.snapshotAt(v1).files.map(_.path) ++ t.snapshotAt(v2).files.map(_.path)).distinct
+    assert(fastFiles.size === fastFiles.distinct.size, "a file is scanned twice")
+    assert(fastFiles.size === expected.size,
+      s"scan must cover the union once: got ${fastFiles.size}, want ${expected.size}")
+    assert(scanFiles(slow).size > expected.size,
+      "control: the two-read union does scan the shared prefix twice")
+  }
+
   test("squash(feed(v0,v1), feed(v1,v2)) equals feed(v0,v2): classification and LSNs exact, payloads exact except squashed-delete") {
     val t = LakeTable.create(spark, tmpDir("cfsq"),
       CdcMerge.physicalSchema(Schemas.transcript), 8)
