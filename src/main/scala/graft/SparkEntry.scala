@@ -567,9 +567,15 @@ object SparkEntry {
         explode(filter(split(col("text"), " "), w => length(w) > 0)).as("term"))
       val tf = SimOps.materialize(
         tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = tf.select("doc_id").distinct().agg(count(lit(1)).as("n"))
-      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      // df as a WINDOW count over the tf rows (round-6, guide §2.4 "two
+      // operations keyed the same way share one exchange"): each (doc, term)
+      // row IS one document containing the term, so count(*) over the term
+      // partition equals the old groupBy(term) aggregate — without the
+      // aggregate + term-keyed join-back the old plan paid
+      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+      val scored = tf.withColumn("df", count(lit(1)).over(wTerm))
+        .crossJoin(broadcast(n))
         .withColumn("tfidf", round(col("tf").cast("double") *
           ((col("n") + 1).cast("double") / (col("df") + 1).cast("double")), 6))
       val w = org.apache.spark.sql.expressions.Window
@@ -581,7 +587,10 @@ object SparkEntry {
       // intra-document repetition (Gopher-style filter signal): 1 − distinct
       // bigrams / total bigrams per doc. One shingle pass, one per-doc
       // aggregate — count(distinct) over the doc's own bigrams is fine here
-      // because the group is a single document, never the corpus
+      // because the group is a single document, never the corpus. (An
+      // xxhash64-the-bigram variant — shuffle 8-byte keys — measured SLOWER
+      // at sf0.1, 0.67 → 0.77 s best-of-3: 2-gram strings are short and the
+      // extra per-row hash costs more than the narrower shuffle saves.)
       SimOps.shingleRows(t(s, d, "documents"), "doc_id", "text", 2)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
