@@ -317,15 +317,23 @@ object SimOps {
     // below already accepts
     val dist = rows.select(col(idCol), xxhash64(col("_sh")).as("_s"))
       .dropDuplicates(idCol, "_s")
-    val sizes = dist.groupBy(idCol).agg(count(lit(1)).as("_sz"))
-    val l = dist.select(col(idCol).as("left_id"), col("_s"))
-    val r = dist.select(col(idCol).as("_rid"), col("_s").as("_s2"))
-    val common = pairs.join(l, "left_id")
+    // per-doc distinct-shingle size as a WINDOW count over the idCol
+    // partition, carried THROUGH the pair join as extra grouping keys
+    // (functionally dependent on left_id/right_id, so grouping is unchanged)
+    // instead of the old separate groupBy(idCol) sizes aggregate + two
+    // join-backs onto the verified counts (round-6, guide §2.4 "two
+    // operations keyed the same way share one exchange"): the window's idCol
+    // exchange is the SAME partitioning the left pair join needs, and the
+    // two post-aggregate joins disappear outright
+    val wSz = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+    val sized = dist.withColumn("_sz", count(lit(1)).over(wSz))
+    val l = sized.select(col(idCol).as("left_id"), col("_s"), col("_sz").as("_sza"))
+    val r = sized.select(col(idCol).as("_rid"), col("_s").as("_s2"),
+      col("_sz").as("_szb"))
+    pairs.join(l, "left_id")
       .join(r, col("right_id") === col("_rid") && col("_s") === col("_s2"))
-      .groupBy("left_id", "right_id").agg(count(lit(1)).as("_common"))
-    common
-      .join(sizes.select(col(idCol).as("left_id"), col("_sz").as("_sza")), "left_id")
-      .join(sizes.select(col(idCol).as("right_id"), col("_sz").as("_szb")), "right_id")
+      .groupBy("left_id", "right_id", "_sza", "_szb")
+      .agg(count(lit(1)).as("_common"))
       .select(col("left_id"), col("right_id"),
         (col("_common").cast("double") /
           greatest(col("_sza") + col("_szb") - col("_common"), lit(1)).cast("double"))
@@ -395,17 +403,27 @@ object SimOps {
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
+      // ONE join + ONE aggregate per round (round-6, guide §2.4): the old
+      // form aggregated neighbor labels by _a and then LEFT-JOINED the result
+      // back onto the label table — a second shuffle join whose only purpose
+      // was re-attaching each node's own label. Feeding the labels rows into
+      // the SAME min-aggregate as self rows (new = min(own ∪ neighborhood
+      // labels), exactly least(_lbl, min _nl) as before) makes the join-back
+      // disappear; the old label rides along as max(self-row label) — labels
+      // has unique _id, so exactly one self row exists per node and no node
+      // is lost (the old LEFT join's contract).
       val viaNbr = edges
         .join(labels.select(col("_id").as("_b"), col("_lbl").as("_nl")), "_b")
-        .groupBy("_a").agg(min("_nl").as("_nl"))
+        .select(col("_a").as("_id"), col("_nl"), lit(false).as("_self"))
+      val selfRows = labels.select(col("_id"), col("_lbl").as("_nl"),
+        lit(true).as("_self"))
       // the per-round convergence signal rides the MATERIALIZATION action via
       // observe() — no extra job per round; observedOrScan falls back to one
       // cheap scan of the checkpointed frame if the runtime withheld metrics
       val obs = Observation()
-      val step = materialize(labels
-        .join(viaNbr.withColumnRenamed("_a", "_id"), Seq("_id"), "left")
-        .select(col("_id"), col("_lbl"),
-          least(col("_lbl"), coalesce(col("_nl"), col("_lbl"))).as("_new"))
+      val step = materialize(viaNbr.unionByName(selfRows)
+        .groupBy("_id").agg(min("_nl").as("_new"),
+          max(when(col("_self"), col("_nl"))).as("_lbl"))
         .observe(obs, coalesce(sum(when(col("_new") < col("_lbl"), 1L)
           .otherwise(0L)), lit(0L)).as("changed")))
       changed = observedMetrics(obs, "changed").map(_.head).getOrElse(
